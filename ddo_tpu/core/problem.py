@@ -1,0 +1,193 @@
+"""Tensorized DP-model contract: the TPU-native counterpart of the reference
+`Problem` / `Relaxation` / `StateRanking` traits.
+
+Reference semantics (re-designed, not translated):
+  * `Problem` trait:      /root/reference/ddo/src/abstraction/dp.rs:34-71
+  * `Relaxation` trait:   /root/reference/ddo/src/abstraction/dp.rs:77-107
+  * `StateRanking`:       /root/reference/ddo/src/abstraction/heuristics.rs:74
+
+Design inversion for TPU: the reference walks one node at a time through
+user closures (`for_each_in_domain` + `transition` + `transition_cost`,
+dp.rs:47-62).  Here a *layer* is a dense `[W, ...]` structure-of-arrays and
+the model supplies pure per-(state, domain-slot) functions which the engine
+`vmap`s over the whole layer and domain at once.  States are pytrees of
+fixed-shape integer arrays, so duplicate detection is done by canonical key
+packing + sort instead of hashing, and node-merge is a masked reduction.
+
+Every hook receives the model's `data` pytree explicitly (instance data such
+as weights/profits) so that instance arrays are traced jit arguments rather
+than baked-in constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddo_tpu.utils.num import INF, VALUE_DTYPE
+
+
+class Problem:
+    """DP formulation of a maximization problem as a labeled transition system.
+
+    Mirrors the reference `Problem` trait (abstraction/dp.rs:34-71) with the
+    iteration inverted for dense batching:
+
+      * ``nb_variables``  -> attribute `nb_variables`
+      * ``initial_state`` -> `initial_state(data)` returning a state pytree
+      * ``initial_value`` -> `initial_value(data)`
+      * ``for_each_in_domain`` + ``transition`` + ``transition_cost``
+        -> one fused `step(data, state, var, d, depth)` returning
+           `(next_state, cost, decision_value, valid)` for domain *slot* `d`
+           in `range(domain_size)`; `valid=False` marks slots outside the
+           domain of `var` in `state`.
+      * ``next_variable`` -> either a static `var_order(data)` permutation or
+        a dynamic `next_variable(data, depth, states, mask, assigned)` hook.
+    """
+
+    #: short name used by the CLI / registry
+    name: str = "problem"
+    #: number of decision variables (static)
+    nb_variables: int = 0
+    #: maximum number of domain values of any variable (static)
+    domain_size: int = 0
+
+    @property
+    def data(self):
+        """Pytree of instance arrays passed (traced) to every hook."""
+        return ()
+
+    # -- state space ---------------------------------------------------------
+    def initial_state(self, data):
+        raise NotImplementedError
+
+    def initial_value(self, data):
+        return jnp.asarray(0, VALUE_DTYPE)
+
+    def step(self, data, state, var, d, depth):
+        """Expand one domain slot: returns (next_state, cost, dval, valid)."""
+        raise NotImplementedError
+
+    # -- variable ordering ---------------------------------------------------
+    def var_order(self, data):
+        """Static branching order: int32[n] permutation, or None if dynamic."""
+        return jnp.arange(self.nb_variables, dtype=jnp.int32)
+
+    def next_variable(self, data, depth, states, mask, assigned):
+        """Dynamic branching hook (used when `var_order` returns None).
+
+        `states`/`mask` describe the layer about to be expanded, `assigned`
+        is a bool[n] mask of already-branched variables.  Must return the
+        index of an unassigned variable (int32 scalar).
+        """
+        raise NotImplementedError
+
+    # -- dedup key -----------------------------------------------------------
+    def pack(self, state):
+        """Canonical fixed-width key: int32[K] uniquely identifying `state`.
+
+        The default flattens every leaf of the state pytree; override for a
+        tighter packing.  Used for duplicate-state detection (the engine's
+        replacement for the reference's `FxHashMap`, clean.rs:143).
+        """
+        leaves = jax.tree_util.tree_leaves(state)
+        cols = [jnp.ravel(l).astype(jnp.int32) for l in leaves]
+        if not cols:
+            return jnp.zeros((1,), jnp.int32)
+        return jnp.concatenate(cols)
+
+
+class Relaxation:
+    """Node-merge operator + arc relaxation + rough upper bound.
+
+    Mirrors the reference `Relaxation` trait (abstraction/dp.rs:77-107):
+      * ``merge``            -> `merge(data, states, mask)` where `states` is
+        a stacked pytree `[C, ...]` and `mask` selects the nodes to merge;
+        returns one merged state.
+      * ``relax``            -> `relax_cost(data, src, dst, merged, dval,
+        cost, var)` adjusting the weight of an arc redirected to the merged
+        node (default: unchanged).
+      * ``fast_upper_bound`` -> `rub(data, state, depth)` (default +inf).
+    """
+
+    @property
+    def data(self):
+        return ()
+
+    def merge(self, data, states, mask):
+        raise NotImplementedError
+
+    def relax_cost(self, data, src, dst, merged, dval, cost, var):
+        return cost
+
+    def rub(self, data, state, depth):
+        return jnp.asarray(INF, VALUE_DTYPE)
+
+
+class StateRanking:
+    """Orders states by how promising they are (greater = keep).
+
+    Mirrors `StateRanking::compare` (abstraction/heuristics.rs:74) but as a
+    vectorizable scoring function: returns an int32 scalar or `[R]` vector
+    compared lexicographically, larger is better.
+    """
+
+    @property
+    def data(self):
+        return ()
+
+    def score(self, data, state):
+        return jnp.zeros((1,), jnp.int32)
+
+
+class Dominance:
+    """Keyed multi-dimensional dominance relation between same-depth states.
+
+    Mirrors the reference `Dominance` trait (abstraction/dominance.rs:37-99).
+    Evaluated host-side on fetched states (numpy), because the dominance
+    store is a global keyed front maintained across the whole search.
+
+      * `key(state) -> hashable | None`  (None = not comparable)
+      * `coords(state) -> np.ndarray`    (greater is better on every axis)
+      * `use_value` -> include the node value as an extra coordinate
+    """
+
+    use_value: bool = False
+
+    def key(self, state):
+        return None
+
+    def coords(self, state):
+        return np.zeros(0, np.int64)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelBundle:
+    """Problem + relaxation + ranking, the static part of a compilation.
+
+    The analogue of the reference `CompilationInput` statics
+    (abstraction/mdd.rs:51-71); the dynamic residual/bounds are passed per
+    compile call.
+    """
+
+    problem: Problem
+    relaxation: Relaxation
+    ranking: StateRanking
+
+    def __hash__(self):  # jit static-arg identity
+        return hash((id(self.problem), id(self.relaxation), id(self.ranking)))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, ModelBundle)
+            and self.problem is other.problem
+            and self.relaxation is other.relaxation
+            and self.ranking is other.ranking
+        )
+
+    @property
+    def datas(self):
+        return (self.problem.data, self.relaxation.data, self.ranking.data)

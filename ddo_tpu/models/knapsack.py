@@ -1,0 +1,152 @@
+"""0/1 knapsack — tensorized DP model.
+
+Reference model: /root/reference/ddo/examples/knapsack/main.rs
+  * state = remaining capacity (depth tracked by the engine;
+    cf. KnapsackState, main.rs:37-44)
+  * domain = {leave out, take} (main.rs:93-99)
+  * merge = max capacity (main.rs:150-152)
+  * fast upper bound = greedy fractional relaxation over the
+    profit/weight-sorted item order (main.rs:158-180) — here O(log n) per
+    state via precomputed prefix sums + searchsorted instead of a loop.
+  * ranking = capacity (main.rs:188-194)
+  * dominance: key=depth, coordinate=capacity, use_value (main.rs:199-218)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ddo_tpu.core.problem import Dominance, Problem, Relaxation, StateRanking
+from ddo_tpu.utils.num import VALUE_DTYPE
+
+I32 = jnp.int32
+
+
+class Knapsack(Problem):
+    name = "knapsack"
+
+    def __init__(self, capacity: int, profit, weight):
+        self.capacity = int(capacity)
+        self.profit = np.asarray(profit, np.int64)
+        self.weight = np.asarray(weight, np.int64)
+        n = len(self.profit)
+        self.nb_variables = n
+        self.domain_size = 2
+        # branch in decreasing profit/weight ratio (main.rs:66-67)
+        ratio = -self.profit / np.maximum(self.weight, 1)
+        self.order = np.argsort(ratio, kind="stable").astype(np.int32)
+        # prefix sums along the order for the O(log n) greedy bound
+        pw = np.concatenate([[0], np.cumsum(self.weight[self.order])])
+        pp = np.concatenate([[0], np.cumsum(self.profit[self.order])])
+        self._data = dict(
+            profit=jnp.asarray(self.profit, I32),
+            weight=jnp.asarray(self.weight, I32),
+            order=jnp.asarray(self.order, I32),
+            prefix_w=jnp.asarray(pw, I32),
+            prefix_p=jnp.asarray(pp, I32),
+        )
+
+    @property
+    def data(self):
+        return self._data
+
+    def initial_state(self, data):
+        return {"capacity": jnp.asarray(self.capacity, I32)}
+
+    def var_order(self, data):
+        return data["order"]
+
+    def step(self, data, state, var, d, depth):
+        cap = state["capacity"]
+        w = data["weight"][var]
+        take = d == 1
+        valid = jnp.where(take, cap >= w, True)
+        ncap = jnp.where(take & valid, cap - w, cap)
+        cost = jnp.where(take, data["profit"][var], 0).astype(VALUE_DTYPE)
+        return {"capacity": ncap}, cost, d.astype(I32), valid
+
+    def pack(self, state):
+        return state["capacity"].reshape(1)
+
+
+class KPRelax(Relaxation):
+    """main.rs:147-181."""
+
+    def __init__(self, problem: Knapsack):
+        self.problem = problem
+
+    @property
+    def data(self):
+        return self.problem.data
+
+    def merge(self, data, states, mask):
+        cap = jnp.max(jnp.where(mask, states["capacity"], -1))
+        return {"capacity": cap}
+
+    def rub(self, data, state, depth):
+        # greedy fractional bound from `depth` in ratio order
+        # (main.rs:158-180), via prefix sums: items taken whole are the
+        # longest order-consecutive run fitting in the capacity, then one
+        # fractional item (integer floor).
+        pw, pp = data["prefix_w"], data["prefix_p"]
+        cap = state["capacity"]
+        base_w = pw[depth]
+        # first index m (>= depth) with pw[m+1]-base_w > cap
+        m = jnp.searchsorted(pw, base_w + cap, side="right") - 1
+        m = jnp.clip(m, depth, pw.shape[0] - 1)
+        whole = pp[m] - pp[depth]
+        rem = cap - (pw[m] - base_w)
+        n = pw.shape[0] - 1
+        has_frac = m < n
+        idx = jnp.clip(m, 0, n - 1)
+        item = data["order"][idx]
+        frac = jnp.where(
+            has_frac,
+            (rem * data["profit"][item]) // jnp.maximum(data["weight"][item], 1),
+            0,
+        )
+        return (whole + frac).astype(VALUE_DTYPE)
+
+
+class KPRanking(StateRanking):
+    """main.rs:188-194: larger capacity is more promising."""
+
+    def score(self, data, state):
+        return state["capacity"].reshape(1)
+
+    def score_host(self, state):
+        return int(np.asarray(state["capacity"]))
+
+
+class KPDominance(Dominance):
+    """main.rs:199-218: same depth, coordinate=capacity, value included."""
+
+    use_value = True
+
+    def key(self, state):
+        return 0  # depth is already the store's partition key
+
+    def coords(self, state):
+        return np.asarray([int(np.asarray(state["capacity"]))], np.int64)
+
+
+def read_instance(path: str) -> Knapsack:
+    """Parses the `resources/knapsack` format (main.rs:267-299):
+    first non-comment line `n capacity`, then n lines `profit weight`."""
+    profit, weight = [], []
+    n = capa = None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("c"):
+                continue
+            parts = line.split()
+            if n is None:
+                n, capa = int(parts[0]), int(parts[1])
+            else:
+                if len(profit) >= n:
+                    break
+                profit.append(int(parts[0]))
+                weight.append(int(parts[1]))
+    return Knapsack(capa, profit, weight)

@@ -1,0 +1,250 @@
+"""Branch-and-bound solvers driving batched DD compilations on device.
+
+Counterparts of the reference solvers:
+  * `SequentialSolver` (implementation/solver/sequential.rs:202-526):
+    `SequentialSolver(batch=1)` reproduces its node-at-a-time loop;
+  * `ParallelSolver` (implementation/solver/parallel.rs:287-653): instead
+    of thread-private DDs racing on a mutex-guarded fringe, we pop up to K
+    subproblems per superstep and compile K restricted (then K relaxed)
+    DDs in ONE vmapped XLA call — the TPU-native expression of frontier
+    parallelism (`SequentialSolver(batch=K)`).
+
+The solver alias matrix of solver/mod.rs:29-47 is reproduced in
+`ddo_tpu/__init__.py` (DefaultSolver, DefaultCachingSolver, ...).
+
+Correctness note on batching: cutset branch-and-bound is exploration-order
+independent — popping K nodes instead of 1 only changes *when* incumbents
+and thresholds are discovered, never the proved optimum.  The popped batch
+shares the best_lb known at superstep start; incumbents found by any lane
+apply from the next superstep on (mirrors parallel.rs:397,428 where each
+thread re-reads the shared lower bound).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ddo_tpu.core.heuristics import Cutoff, NoCutoff, WidthHeuristic, FixedWidth
+from ddo_tpu.core.problem import ModelBundle
+from ddo_tpu.core.types import (
+    Completion,
+    CompilationType,
+    CutsetType,
+    Reason,
+    SubProblem,
+    root_subproblem,
+)
+from ddo_tpu.engine.mdd import DDCompiler
+from ddo_tpu.search.cache import Cache, EmptyCache
+from ddo_tpu.search.dominance import DominanceChecker, EmptyDominanceChecker
+from ddo_tpu.search.fringe import Fringe, NoDupFringe
+from ddo_tpu.utils.num import INF, NEG_INF
+
+
+class SequentialSolver:
+    """Best-first branch-and-bound over exact cutsets (sequential.rs:202).
+
+    With `batch > 1` this becomes the TPU superstep solver replacing the
+    reference's thread pool (parallel.rs:287): each iteration pops up to
+    `batch` subproblems and compiles them as one vmapped device call.
+    """
+
+    def __init__(
+        self,
+        bundle: ModelBundle,
+        width_heu: Optional[WidthHeuristic] = None,
+        buffer_width: Optional[int] = None,
+        cutset_type: CutsetType = CutsetType.LAST_EXACT_LAYER,
+        cache: Optional[Cache] = None,
+        dominance: Optional[DominanceChecker] = None,
+        cutoff: Optional[Cutoff] = None,
+        fringe: Optional[Fringe] = None,
+        batch: int = 1,
+    ):
+        self.bundle = bundle
+        problem = bundle.problem
+        self.problem = problem
+        self.width_heu = width_heu or FixedWidth(max(2, problem.domain_size))
+        W = buffer_width
+        if W is None:
+            # buffer must hold any unsquashed layer: relaxed DDs never squash
+            # their first DD layer (clean.rs:788-793), which holds <= D nodes
+            W = max(problem.domain_size, self._probe_width())
+        # round the static buffer up to a power of two (>=8): the effective
+        # width is traced, so nearby width heuristics share one compilation
+        W = max(8, 1 << (int(W) - 1).bit_length())
+        self.compiler = DDCompiler(bundle, W, cutset_type)
+        self.cache = cache if cache is not None else EmptyCache()
+        self.dominance = dominance if dominance is not None else EmptyDominanceChecker()
+        self.cutoff = cutoff or NoCutoff()
+        self.fringe = fringe if fringe is not None else NoDupFringe()
+        self.batch = batch
+
+        self.best_lb = NEG_INF
+        self.best_ub = INF
+        self.best_sol = None  # (vals, set_mask)
+        self.abort_proof = None
+        self.explored_count = 0
+        self.expanded_nodes = 0  # total DD node expansions (bench metric)
+        self.open_by_layer = np.zeros(problem.nb_variables + 1, np.int64)
+        self.first_active_layer = 0
+
+    def _probe_width(self) -> int:
+        root = root_subproblem(self.problem)
+        return max(2, self.width_heu.max_width(root))
+
+    # ------------------------------------------------------------------ API
+    def maximize(self) -> Completion:
+        """sequential.rs:475-494."""
+        self.cache.initialize(self.problem)
+        self.fringe.push(root_subproblem(self.problem))
+        self.open_by_layer[0] += 1
+
+        while True:
+            batch = self._get_workload()
+            if batch is None:
+                break
+            if self.cutoff.must_stop():
+                self._abort(Reason.CUTOFF_OCCURRED, batch)
+                break
+            self._process_batch(batch)
+
+        if self.abort_proof is None:
+            self.best_ub = self.best_lb
+        return Completion(
+            is_exact=self.abort_proof is None,
+            best_value=self.best_lb if self.best_sol is not None else None,
+        )
+
+    def best_value(self):
+        return self.best_lb if self.best_sol is not None else None
+
+    def best_solution(self):
+        return self.best_sol
+
+    def best_lower_bound(self):
+        return self.best_lb
+
+    def best_upper_bound(self):
+        return self.best_ub
+
+    def set_primal(self, value, solution):
+        """abstraction/solver.rs:77, parallel.rs:630-636."""
+        if value > self.best_lb:
+            self.best_lb = value
+            self.best_sol = solution
+
+    def gap(self) -> float:
+        """abstraction/solver.rs:80-93."""
+        ub, lb = self.best_ub, self.best_lb
+        if ub >= INF or lb <= NEG_INF:
+            return 1.0
+        u, l = max(abs(ub), abs(lb)), min(abs(ub), abs(lb))
+        return (u - l) / u if u else 0.0
+
+    def explored(self):
+        return self.explored_count
+
+    # ----------------------------------------------------------- internals
+    def _get_workload(self):
+        """Pop up to `batch` still-relevant subproblems (sequential.rs:433-461)."""
+        n = self.problem.nb_variables
+        # layer-sweep cache eviction (sequential.rs:436-440)
+        while self.first_active_layer < n and self.open_by_layer[self.first_active_layer] == 0:
+            self.cache.clear_layer(self.first_active_layer)
+            self.dominance.clear_layer(self.first_active_layer)
+            self.first_active_layer += 1
+
+        batch = []
+        while len(batch) < self.batch:
+            node = self.fringe.pop()
+            if node is None:
+                break
+            self.explored_count += 1
+            self.open_by_layer[node.depth] -= 1
+            self.best_ub = min(self.best_ub, max(node.ub, self.best_lb))
+            if node.ub <= self.best_lb:
+                continue  # sequential.rs:337-339
+            if not self.cache.must_explore(node):
+                continue  # sequential.rs:341-343
+            batch.append(node)
+        if not batch and self.fringe.is_empty():
+            return None
+        return batch or self._get_workload()
+
+    def _process_batch(self, batch):
+        """sequential.rs:329-389 vectorized over the batch."""
+        if not batch:
+            return
+        widths = [max(1, self.width_heu.max_width(nd)) for nd in batch]
+        best_lb = self.best_lb
+
+        restricted = self.compiler.compile_batch(
+            CompilationType.RESTRICTED, batch, best_lb, widths
+        )
+        need_relax, widths2 = [], []
+        for nd, dd, w in zip(batch, restricted, widths):
+            self.expanded_nodes += int(dd.o["expanded"])
+            self._maybe_update_best(dd)
+            self._apply_cache_updates(dd)
+            if not dd.is_exact():
+                need_relax.append(nd)
+                widths2.append(w)
+
+        if not need_relax:
+            return
+        relaxed = self.compiler.compile_batch(
+            CompilationType.RELAXED, need_relax, self.best_lb, widths2
+        )
+        for nd, dd in zip(need_relax, relaxed):
+            self.expanded_nodes += int(dd.o["expanded"])
+            self._maybe_update_best(dd)
+            self._apply_cache_updates(dd)
+            if not dd.is_exact():
+                self._enqueue_cutset(nd, dd)
+
+    def _maybe_update_best(self, dd):
+        """sequential.rs:394-400."""
+        val = dd.best_exact_value()
+        if val is not None and val > self.best_lb:
+            self.best_lb = val
+            self.best_sol = dd.best_exact_solution()
+
+    def _apply_cache_updates(self, dd):
+        if isinstance(self.cache, EmptyCache):
+            return
+        for depth, key, theta, explored in dd.cache_updates():
+            self.cache.update_threshold(key, depth, theta, explored)
+
+    def _enqueue_cutset(self, node, dd):
+        """sequential.rs:403-416 + enqueue-time dominance filtering (the
+        engine-level analogue of clean.rs:689-708 applied to exact cutset
+        nodes entering the global frontier)."""
+        for sub in dd.drain_cutset():
+            sub.ub = min(node.ub, sub.ub)
+            if sub.ub <= self.best_lb:
+                continue
+            res = self.dominance.is_dominated_or_insert(
+                sub.state, sub.key, sub.depth, sub.value
+            )
+            if res.dominated:
+                continue
+            before = len(self.fringe)
+            self.fringe.push(sub)
+            self.open_by_layer[sub.depth] += len(self.fringe) - before
+
+    def _abort(self, reason, pending):
+        """sequential.rs:418-422 + parallel.rs:479-497 (bound recovery)."""
+        self.abort_proof = reason
+        for nd in pending:
+            self.best_ub = min(self.best_ub, max(nd.ub, self.best_lb))
+        self.fringe.clear()
+        self.cache.clear()
+
+
+def ParallelSolver(bundle, batch=16, **kw):
+    """TPU analogue of parallel.rs:287 — frontier parallelism via a vmapped
+    superstep instead of worker threads."""
+    return SequentialSolver(bundle, batch=batch, **kw)

@@ -1,0 +1,128 @@
+"""End-to-end optimality tests on the bundled knapsack instances.
+
+Oracle values come from the reference integration tests
+(/root/reference/ddo/examples/knapsack/tests.rs:66-200) plus a brute-force
+DP cross-check on tiny/random instances.
+"""
+
+import numpy as np
+import pytest
+
+import ddo_tpu
+from ddo_tpu import FixedWidth, ModelBundle, SimpleDominanceChecker
+from ddo_tpu.models.knapsack import (
+    Knapsack,
+    KPDominance,
+    KPRanking,
+    KPRelax,
+    read_instance,
+)
+
+RESOURCES = "/root/reference/resources/knapsack"
+
+# (instance, optimum) — tests.rs:66-200
+SMALL = [
+    ("f1_l-d_kp_10_269", 295),
+    ("f2_l-d_kp_20_878", 1024),
+    ("f3_l-d_kp_4_20", 35),
+    ("f4_l-d_kp_4_11", 23),
+    ("f6_l-d_kp_10_60", 52),
+    ("f7_l-d_kp_7_50", 107),
+    ("f9_l-d_kp_5_80", 130),
+    ("f10_l-d_kp_20_879", 1025),
+]
+
+
+def bundle_for(pb):
+    return ModelBundle(pb, KPRelax(pb), KPRanking())
+
+
+def brute_force(pb: Knapsack) -> int:
+    best = 0
+    n = pb.nb_variables
+    for m in range(1 << n):
+        w = p = 0
+        for i in range(n):
+            if m >> i & 1:
+                w += pb.weight[i]
+                p += pb.profit[i]
+        if w <= pb.capacity:
+            best = max(best, p)
+    return int(best)
+
+
+def solve(pb, width=2, batch=1, cache=True, dominance=False, cutset=None):
+    kw = dict(width_heu=FixedWidth(width), batch=batch)
+    if cutset is not None:
+        kw["cutset_type"] = cutset
+    if cache:
+        kw["cache"] = ddo_tpu.SimpleCache()
+    if dominance:
+        kw["dominance"] = SimpleDominanceChecker(KPDominance(), pb.nb_variables)
+    solver = ddo_tpu.SequentialSolver(bundle_for(pb), **kw)
+    completion = solver.maximize()
+    return solver, completion
+
+
+def check_solution(pb, solver, expected):
+    assert solver.best_value() == expected
+    vals, pset = solver.best_solution()
+    w = int(np.sum(pb.weight * vals * pset))
+    p = int(np.sum(pb.profit * vals * pset))
+    assert w <= pb.capacity
+    assert p == expected
+
+
+@pytest.mark.parametrize("fname,opt", SMALL[:4])
+def test_small_instances_fc(fname, opt):
+    pb = read_instance(f"{RESOURCES}/{fname}")
+    solver, completion = solve(pb, width=2, cutset=ddo_tpu.FRONTIER)
+    assert completion.is_exact
+    check_solution(pb, solver, opt)
+
+
+@pytest.mark.parametrize("fname,opt", SMALL)
+def test_small_instances_lel(fname, opt):
+    pb = read_instance(f"{RESOURCES}/{fname}")
+    solver, completion = solve(pb, width=4, cutset=ddo_tpu.LAST_EXACT_LAYER)
+    assert completion.is_exact
+    check_solution(pb, solver, opt)
+
+
+@pytest.mark.parametrize("fname,opt", SMALL[:4])
+def test_batched_solver(fname, opt):
+    pb = read_instance(f"{RESOURCES}/{fname}")
+    solver, completion = solve(pb, width=2, batch=4)
+    assert completion.is_exact
+    check_solution(pb, solver, opt)
+
+
+@pytest.mark.parametrize("fname,opt", SMALL[:4])
+def test_with_dominance(fname, opt):
+    pb = read_instance(f"{RESOURCES}/{fname}")
+    solver, completion = solve(pb, width=3, dominance=True)
+    assert completion.is_exact
+    check_solution(pb, solver, opt)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_vs_bruteforce(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 12))
+    profit = rng.integers(1, 60, n)
+    weight = rng.integers(1, 30, n)
+    capacity = int(weight.sum() // 2) + 1
+    pb = Knapsack(capacity, profit, weight)
+    expected = brute_force(pb)
+    solver, completion = solve(pb, width=int(rng.integers(2, 5)))
+    assert completion.is_exact
+    assert solver.best_value() == expected
+
+
+def test_wide_width_single_dd():
+    # with a huge width the restricted DD is exact: one node processed
+    pb = read_instance(f"{RESOURCES}/f1_l-d_kp_10_269")
+    solver, completion = solve(pb, width=2048)
+    assert completion.is_exact
+    assert solver.best_value() == 295
+    assert solver.explored() == 1
