@@ -101,7 +101,8 @@ def _tree_where_mask(mask, a, b):
     return jax.tree_util.tree_map(sel, a, b)
 
 
-def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best_lb, eff_width):
+def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best_lb,
+                   eff_width, root_path_set=None):
     """Trace-time body of one DD compilation.  All args but `spec` traced.
 
     Returns a dict of device arrays describing the full compiled diagram
@@ -128,6 +129,8 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
     # --- static variable order (dynamic ordering hook wired per-problem) ----
     order = problem.var_order(pdata)
     dynamic_order = order is None
+    if root_path_set is None:
+        root_path_set = jnp.zeros((n,), bool)
 
     # --- vmapped model hooks ------------------------------------------------
     v_rub = jax.vmap(lambda s, dep: rlx.rub(rdata, s, dep), in_axes=(0, None))
@@ -166,7 +169,7 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
 
     def forward_step(i, carry):
         (S_state, S_val, S_mask, S_exact, S_relaxed, S_rub, S_bp, S_bd,
-         E_child, E_cost, E_dval, E_valid, var_of, lel, expanded, overflow) = carry
+         E_child, E_cost, E_dval, E_valid, var_of, assigned, lel, expanded, overflow) = carry
 
         active = i >= root_depth
         c_state = _tree_get(S_state, i)
@@ -175,11 +178,12 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         c_exact = S_exact[i]
 
         if dynamic_order:
-            assigned = jnp.zeros((n,), bool)  # filled by caller-specific hook
             var = problem.next_variable(pdata, i, c_state, c_mask, assigned)
         else:
             var = order[i]
+        var = jnp.asarray(var, I32)
         var_of = var_of.at[i].set(var)
+        assigned = assigned.at[var].set(assigned[var] | active)
 
         # --- RUB pruning (clean.rs:360-365) --------------------------------
         rub = v_rub(c_state, i)
@@ -375,14 +379,14 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         E_valid = E_valid.at[i].set(jnp.where(write, e_valid.reshape(W, D), E_valid[i]))
 
         return (S_state, S_val, S_mask, S_exact, S_relaxed, S_rub, S_bp, S_bd,
-                E_child, E_cost, E_dval, E_valid, var_of, lel, expanded, overflow)
+                E_child, E_cost, E_dval, E_valid, var_of, assigned, lel, expanded, overflow)
 
     carry = (S_state, S_val, S_mask, S_exact, S_relaxed, S_rub, S_bp, S_bd,
-             E_child, E_cost, E_dval, E_valid, var_of,
+             E_child, E_cost, E_dval, E_valid, var_of, root_path_set,
              LEL_NONE, jnp.asarray(0, I32), jnp.asarray(False))
     carry = jax.lax.fori_loop(0, n, forward_step, carry)
     (S_state, S_val, S_mask, S_exact, S_relaxed, S_rub, S_bp, S_bd,
-     E_child, E_cost, E_dval, E_valid, var_of, lel, expanded, overflow) = carry
+     E_child, E_cost, E_dval, E_valid, var_of, assigned, lel, expanded, overflow) = carry
 
     # ======================= finalization ==================================
     term_mask = S_mask[n]
@@ -533,16 +537,19 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _compile_jit(spec, datas, root_state, root_value, root_depth, best_lb, eff_width):
-    return compile_kernel(spec, datas, root_state, root_value, root_depth, best_lb, eff_width)
+def _compile_jit(spec, datas, root_state, root_value, root_depth, best_lb, eff_width, rps):
+    return compile_kernel(
+        spec, datas, root_state, root_value, root_depth, best_lb, eff_width, rps
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _compile_vjit(spec, datas, root_states, root_values, root_depths, best_lb, eff_widths):
+def _compile_vjit(spec, datas, root_states, root_values, root_depths, best_lb,
+                  eff_widths, rpss):
     """K-lane batched compilation (the B&B superstep workhorse)."""
     return jax.vmap(
-        lambda rs, rv, rd, ew: compile_kernel(spec, datas, rs, rv, rd, best_lb, ew)
-    )(root_states, root_values, root_depths, eff_widths)
+        lambda rs, rv, rd, ew, ps: compile_kernel(spec, datas, rs, rv, rd, best_lb, ew, ps)
+    )(root_states, root_values, root_depths, eff_widths, rpss)
 
 
 class CompiledDD:
@@ -650,7 +657,10 @@ class DDCompiler:
                 best_lb: int, eff_width: int) -> CompiledDD:
         spec = self._specs[comp_type]
         rs, rv, rd = self._root_args(sub)
-        out = _compile_jit(spec, self.bundle.datas, rs, rv, rd, best_lb, eff_width)
+        out = _compile_jit(
+            spec, self.bundle.datas, rs, rv, rd, best_lb, eff_width,
+            jnp.asarray(sub.path_set),
+        )
         return CompiledDD(spec, out, sub)
 
     def compile_batch(self, comp_type: CompilationType, subs, best_lb: int,
@@ -664,7 +674,10 @@ class DDCompiler:
         values = jnp.asarray([s.value for s in subs], VALUE_DTYPE)
         depths = jnp.asarray([s.depth for s in subs], I32)
         widths = jnp.asarray(eff_widths, I32)
-        out = _compile_vjit(spec, self.bundle.datas, states, values, depths, best_lb, widths)
+        psets = jnp.asarray(np.stack([s.path_set for s in subs]))
+        out = _compile_vjit(
+            spec, self.bundle.datas, states, values, depths, best_lb, widths, psets
+        )
         outs = jax.tree_util.tree_map(np.asarray, out)
         views = []
         for k, sub in enumerate(subs):
