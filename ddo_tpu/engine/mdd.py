@@ -54,6 +54,7 @@ import numpy as np
 
 from ddo_tpu.core.problem import ModelBundle
 from ddo_tpu.core.types import CompilationType, CutsetType, SubProblem, state_key_bytes
+from ddo_tpu.ops import segments as seg_ops
 from ddo_tpu.utils.num import INF, NEG_INF, VALUE_DTYPE, sat_add, sat_sub
 
 I32 = jnp.int32
@@ -91,6 +92,32 @@ def _tree_where(cond, a, b):
     return jax.tree_util.tree_map(lambda x, y: jnp.where(cond, x, y), a, b)
 
 
+def _tree_to_cols(tree):
+    """Flatten a [C, ...]-leaved pytree into 1-D [C] column arrays so they
+    can ride `lax.sort` as payload operands (which require equal shapes)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    cols, shapes = [], []
+    for leaf in leaves:
+        C = leaf.shape[0]
+        flat = leaf.reshape(C, -1)
+        shapes.append(leaf.shape)
+        cols.extend(flat[:, k] for k in range(flat.shape[1]))
+    return tuple(cols), (treedef, shapes)
+
+
+def _tree_from_cols(spec, cols):
+    treedef, shapes = spec
+    leaves, k = [], 0
+    for shape in shapes:
+        ncol = 1
+        for d in shape[1:]:
+            ncol *= d
+        leaves.append(jnp.stack(cols[k : k + ncol], axis=1).reshape(shape)
+                      if ncol > 1 else cols[k].reshape(shape))
+        k += ncol
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def _tree_where_mask(mask, a, b):
     """Elementwise select with a [W] mask over [W, ...] leaves."""
 
@@ -105,8 +132,13 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
                    eff_width, root_path_set=None):
     """Trace-time body of one DD compilation.  All args but `spec` traced.
 
-    Returns a dict of device arrays describing the full compiled diagram
-    (layers, edges, flags, bounds, thresholds, cutset, best nodes).
+    Structured as three `lax.scan`s so every per-layer array is written as a
+    stacked scan output (in-place by construction — dynamic row updates into
+    big loop-carried buffers cost a full-buffer copy per layer on TPU):
+      1. forward: expand/dedup/squash layer by layer (clean.rs:345-381);
+      2. reverse: local bounds (clean.rs:448-475);
+      3. reverse: thresholds (clean.rs:478-532).
+    Returns a dict of device arrays describing the full compiled diagram.
     """
     problem = spec.bundle.problem
     rlx = spec.bundle.relaxation
@@ -117,7 +149,6 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
     W = spec.width
     D = problem.domain_size
     C = W * D
-    L1 = n + 1
     comp = spec.comp_type
     LEL_NONE = jnp.asarray(n + 1, I32)
 
@@ -144,53 +175,56 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
     v_pack = jax.vmap(problem.pack)
     v_rank = jax.vmap(lambda s: jnp.atleast_1d(jnp.asarray(ranking.score(kdata, s), I32)))
 
-    # --- storage ------------------------------------------------------------
-    S_state = _tree_stack_template(root_state, (L1, W))
-    S_val = jnp.full((L1, W), NEG_INF, VALUE_DTYPE)
-    S_mask = jnp.zeros((L1, W), bool)
-    S_exact = jnp.zeros((L1, W), bool)
-    S_relaxed = jnp.zeros((L1, W), bool)
-    S_rub = jnp.full((L1, W), INF, VALUE_DTYPE)
-    S_bp = jnp.full((L1, W), -1, I32)  # best in-edge: parent slot
-    S_bd = jnp.zeros((L1, W), I32)  # best in-edge: decision value
-    E_child = jnp.full((n, W, D), -1, I32)
-    E_cost = jnp.zeros((n, W, D), VALUE_DTYPE)
-    E_dval = jnp.zeros((n, W, D), I32)
-    E_valid = jnp.zeros((n, W, D), bool)
-    var_of = jnp.zeros((n,), I32)
+    # --- the root layer as a [W] row (slot 0) -------------------------------
+    r_state = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x), (W,) + jnp.shape(x)), root_state
+    )
+    r_val = jnp.full((W,), NEG_INF, VALUE_DTYPE).at[0].set(root_value)
+    r_mask = jnp.zeros((W,), bool).at[0].set(True)
 
-    # root layer occupies slot 0 of layer `root_depth` (clean.rs:383-405)
-    S_state = _tree_set(S_state, (root_depth, 0), root_state)
-    S_val = S_val.at[root_depth, 0].set(root_value)
-    S_mask = S_mask.at[root_depth, 0].set(True)
-    S_exact = S_exact.at[root_depth, 0].set(True)
+    zero_row = dict(
+        state=jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), r_state),
+        val=jnp.full((W,), NEG_INF, VALUE_DTYPE),
+        mask=jnp.zeros((W,), bool),
+        exact=jnp.zeros((W,), bool),
+        relaxed=jnp.zeros((W,), bool),
+        bp=jnp.full((W,), -1, I32),
+        bd=jnp.zeros((W,), I32),
+        ebp=jnp.zeros((W,), bool),
+    )
 
-    zero_layer_state = _tree_get(S_state, 0)
+    idxs = jnp.arange(C, dtype=I32)
 
-    def forward_step(i, carry):
-        (S_state, S_val, S_mask, S_exact, S_relaxed, S_rub, S_bp, S_bd,
-         E_child, E_cost, E_dval, E_valid, var_of, assigned, lel, expanded, overflow) = carry
+    def forward_step(carry, i):
+        cur, assigned, lel, expanded, overflow = carry
 
-        active = i >= root_depth
-        c_state = _tree_get(S_state, i)
-        c_val = S_val[i]
-        c_mask = S_mask[i] & active
-        c_exact = S_exact[i]
+        # root layer materializes at depth `root_depth` (clean.rs:383-405)
+        is_root = i == root_depth
+        c_state = _tree_where(is_root, r_state, cur["state"])
+        c_val = jnp.where(is_root, r_val, cur["val"])
+        c_mask = jnp.where(is_root, r_mask, cur["mask"])
+        c_exact = jnp.where(is_root, r_mask, cur["exact"])
+        c_relaxed = jnp.where(is_root, False, cur["relaxed"])
+        c_bp = jnp.where(is_root, -1, cur["bp"])
+        c_bd = jnp.where(is_root, 0, cur["bd"])
+        c_ebp = jnp.where(is_root, r_mask, cur["ebp"])
 
         if dynamic_order:
             var = problem.next_variable(pdata, i, c_state, c_mask, assigned)
         else:
             var = order[i]
         var = jnp.asarray(var, I32)
-        var_of = var_of.at[i].set(var)
-        assigned = assigned.at[var].set(assigned[var] | active)
+        assigned = assigned.at[var].set(assigned[var] | jnp.any(c_mask))
 
         # --- RUB pruning (clean.rs:360-365) --------------------------------
-        rub = v_rub(c_state, i)
-        rub = jnp.where(c_mask, rub, INF)
-        S_rub = S_rub.at[i].set(jnp.where(c_mask, rub, S_rub[i]))
+        rub = jnp.where(c_mask, v_rub(c_state, i), INF)
         expand_ok = c_mask & (sat_add(c_val, rub) > best_lb)
         expanded = expanded + jnp.sum(expand_ok.astype(I32))
+
+        y_layer = dict(
+            state=c_state, val=c_val, mask=c_mask, exact=c_exact,
+            relaxed=c_relaxed, rub=rub, bp=c_bp, bd=c_bd,
+        )
 
         # --- expansion: vmap over [W, D] -----------------------------------
         dom = jnp.arange(D, dtype=I32)
@@ -204,51 +238,51 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         f_cost = cost.reshape(C)
         f_dval = dval.reshape(C).astype(I32)
         f_state = jax.tree_util.tree_map(lambda a: a.reshape((C,) + a.shape[2:]), nstate)
-        f_parent = jnp.arange(C, dtype=I32) // D
+        f_parent = idxs // D
         f_pexact = c_exact[f_parent]
 
-        # --- dedup: lexsort packed keys + segment reduce -------------------
+        # --- dedup: one payload-riding sort, best edge first in every run --
+        # sort by (valid, key, -value, -append idx) so that the head of each
+        # key-run IS the best in-edge: max value, ties to the last appended
+        # edge — the `>=` update rule of clean.rs:215-218.  TPU scatters
+        # serialize, so everything below is sort/gather/cumsum only; all
+        # per-candidate data rides the sort as payload operands to avoid a
+        # kernel per post-sort gather.
         f_keys = v_pack(f_state)  # [C, K]
         K = f_keys.shape[1]
         inval = (~f_valid).astype(I32)
-        sort_keys = tuple(f_keys[:, k] for k in range(K - 1, -1, -1)) + (inval,)
-        perm = jnp.lexsort(sort_keys)
-        kv = f_keys[perm]
-        valid_s = f_valid[perm]
-        val_s = f_val[perm]
+        key_ops = (inval,) + tuple(f_keys[:, k] for k in range(K)) + (-f_val, -idxs)
+        state_cols, state_spec = _tree_to_cols(f_state)
+        payload = (f_parent, f_dval, f_pexact) + state_cols
+        sorted_ops = jax.lax.sort(
+            key_ops + payload, num_keys=len(key_ops), is_stable=False
+        )
+        kv = jnp.stack(sorted_ops[1 : 1 + K], axis=1)
+        val_s_raw = -sorted_ops[1 + K]
+        perm = -sorted_ops[2 + K]
+        parent_s, dval_s, pexact_s = sorted_ops[3 + K : 6 + K]
+        slot_state = _tree_from_cols(state_spec, sorted_ops[6 + K :])
+        valid_s = sorted_ops[0] == 0
+        val_s = jnp.where(valid_s, val_s_raw, NEG_INF)
         first = jnp.concatenate([jnp.ones((1,), bool), jnp.any(kv[1:] != kv[:-1], axis=1)])
         head = valid_s & first
-        seg = jnp.cumsum(head.astype(I32)) - 1
-        seg = jnp.clip(seg, 0, C - 1)
         U = jnp.sum(head.astype(I32))
+        head_pos = jax.lax.cummax(jnp.where(head, idxs, -1))
 
-        slot_val = jax.ops.segment_max(
-            jnp.where(valid_s, val_s, NEG_INF), seg, num_segments=C, indices_are_sorted=True
-        )
-        slot_exact = (
-            jax.ops.segment_min(
-                jnp.where(valid_s, f_pexact[perm].astype(I32), 1), seg,
-                num_segments=C, indices_are_sorted=True,
-            ) == 1
-        )
-        head_pos = jax.ops.segment_max(
-            jnp.where(head, jnp.arange(C, dtype=I32), -1), seg,
-            num_segments=C, indices_are_sorted=True,
-        )
-        rep_flat = perm[jnp.clip(head_pos, 0, C - 1)]
-        slot_state = _tree_get(f_state, rep_flat)
-        slot_keys = f_keys[rep_flat]
-        # best in-edge per slot: max value, ties -> largest flat index
-        # (replicates the `>=` update in clean.rs:215-218)
-        is_best = valid_s & (val_s == slot_val[seg])
-        best_flat = jax.ops.segment_max(
-            jnp.where(is_best, perm, -1), seg, num_segments=C, indices_are_sorted=True
-        )
-        bf = jnp.clip(best_flat, 0, C - 1)
-        slot_bp = jnp.where(best_flat >= 0, f_parent[bf], -1)
-        slot_bd = jnp.where(best_flat >= 0, f_dval[bf], 0)
-        slot_valid = jnp.arange(C, dtype=I32) < U
-        cand_slot = jnp.zeros((C,), I32).at[perm].set(seg)  # orig candidate -> slot
+        slot_val = val_s
+        slot_bp = jnp.where(valid_s, parent_s, -1)
+        slot_bd = jnp.where(valid_s, dval_s, 0)
+        # exactness = AND over the run's parents, via prefix-sum difference
+        inexact_int = (valid_s & ~pexact_s).astype(I32)
+        X = jnp.concatenate([jnp.zeros((1,), I32), jnp.cumsum(inexact_int)])
+        nx = jax.lax.cummin(jnp.where(head, idxs, C), reverse=True)
+        run_end = jnp.concatenate([nx[1:], jnp.full((1,), C, I32)])  # excl.
+        slot_exact = (X[run_end] - X[idxs]) == 0
+        slot_keys = kv
+        slot_valid = head
+        # orig candidate -> its run head slot, via one inverse-permutation
+        # sort (payload = target values, keys = perm)
+        _, cand_slot = jax.lax.sort((perm, head_pos), num_keys=1, is_stable=False)
 
         # --- squash: restrict (clean.rs:802-815) / relax (clean.rs:817-876)
         j = i + 1 - root_depth  # DD-local index of the layer being produced
@@ -265,9 +299,18 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         slot_rank = v_rank(slot_state)  # [C, R]
         R = slot_rank.shape[1]
         inval2 = (~slot_valid).astype(I32)
-        order_keys = tuple(-slot_rank[:, r] for r in range(R - 1, -1, -1)) + (-slot_val, inval2)
-        order2 = jnp.lexsort(order_keys)  # promising first, invalid last
-        rank_of = jnp.zeros((C,), I32).at[order2].set(jnp.arange(C, dtype=I32))
+        # promising first, invalid last; next-layer data rides as payload
+        q_keys = (inval2, -slot_val) + tuple(-slot_rank[:, r] for r in range(R))
+        slot_cols, _ = _tree_to_cols(slot_state)
+        payload2 = (idxs, slot_bp, slot_bd, slot_exact) + slot_cols
+        sorted2 = jax.lax.sort(q_keys + payload2, num_keys=2 + R, is_stable=False)
+        nq = 2 + R
+        order2 = sorted2[nq]
+        so_val = -sorted2[1]
+        so_bp, so_bd, so_exact = sorted2[nq + 1 : nq + 4]
+        so_state = _tree_from_cols(state_spec, sorted2[nq + 4 :])
+        so_valid = sorted2[0] == 0
+        rank_of = jax.lax.sort((order2, idxs), num_keys=1, is_stable=False)[1]
 
         limit = jnp.where(need_relax, eff_width - 1, jnp.where(need_restrict, eff_width, C))
         kept = slot_valid & (rank_of < limit)
@@ -281,14 +324,21 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         recycled_slot = jnp.argmax(eq_kept)
         saved_slot = order2[jnp.clip(limit, 0, C - 1)]  # best of the merge set
         # recycled: the reference keeps eff_width nodes incl. the saved one
-        kept2 = kept | (recycled & (jnp.arange(C, dtype=I32) == saved_slot) & slot_valid)
-        merge_final = merge_mask & ~(recycled & (jnp.arange(C, dtype=I32) == saved_slot))
+        kept2 = kept | (recycled & (idxs == saved_slot) & slot_valid)
+        merge_final = merge_mask & ~(recycled & (idxs == saved_slot))
         merged_pos = jnp.where(recycled, rank_of[recycled_slot], limit)
 
         # --- edge remap + relaxed costs ------------------------------------
-        e_slot = cand_slot
-        e_kept = f_valid & kept2[e_slot]
-        e_merge = f_valid & merge_final[e_slot] & need_relax
+        # one gather of a packed (rank, kept, merge) code per candidate
+        slot_code = (
+            rank_of
+            + jnp.where(kept2, 1 << 27, 0)
+            + jnp.where(merge_final, 1 << 28, 0)
+        )
+        e_code = slot_code[cand_slot]
+        e_kept = f_valid & (e_code & (1 << 27) > 0)
+        e_merge = f_valid & (e_code & (1 << 28) > 0) & need_relax
+        e_rank = e_code & ((1 << 27) - 1)
         if comp == CompilationType.RELAXED:
             # src is the parent's state, dst the original child state
             # (Relaxation::relax, abstraction/dp.rs:93-100)
@@ -300,7 +350,7 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
             rcost = f_cost
         e_cost = jnp.where(e_merge, rcost, f_cost)
         e_child = jnp.where(
-            e_kept, rank_of[e_slot], jnp.where(e_merge, merged_pos, -1)
+            e_kept, e_rank, jnp.where(e_merge, merged_pos, -1)
         ).astype(I32)
         e_valid = f_valid & (e_child >= 0)
 
@@ -308,7 +358,7 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         m_edge_val = jnp.where(e_merge, sat_add(c_val[f_parent], e_cost), NEG_INF)
         m_val = jnp.max(m_edge_val)
         m_is_best = e_merge & (m_edge_val == m_val)
-        m_best_flat = jnp.max(jnp.where(m_is_best, jnp.arange(C, dtype=I32), -1))
+        m_best_flat = jnp.max(jnp.where(m_is_best, idxs, -1))
         m_bp = jnp.where(m_best_flat >= 0, f_parent[jnp.clip(m_best_flat, 0, C - 1)], -1)
         m_bd = jnp.where(m_best_flat >= 0, f_dval[jnp.clip(m_best_flat, 0, C - 1)], 0)
         m_par_exact_all = jnp.all(jnp.where(e_merge, f_pexact, True))
@@ -318,16 +368,16 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
             need_relax | need_restrict, jnp.where(need_relax, limit + 1, eff_width),
             jnp.minimum(U, W),
         )
-        overflow = overflow | ((U > W) & ~(need_relax | need_restrict) & active)
+        overflow = overflow | ((U > W) & ~(need_relax | need_restrict))
         q = jnp.arange(W, dtype=I32)
-        sq = order2[jnp.clip(q, 0, C - 1)]
-        q_valid = (q < width_used) & slot_valid[sq] & active
-        nl_state = _tree_get(slot_state, sq)
-        nl_val = slot_val[sq]
-        nl_exact = slot_exact[sq]
+        # next-layer data = first W rows of the ranking-sorted payloads
+        q_valid = (q < width_used) & so_valid[:W]
+        nl_state = _tree_get(so_state, slice(0, W))
+        nl_val = so_val[:W]
+        nl_exact = so_exact[:W]
         nl_relaxed = jnp.zeros((W,), bool)
-        nl_bp = slot_bp[sq]
-        nl_bd = slot_bd[sq]
+        nl_bp = so_bp[:W]
+        nl_bd = so_bd[:W]
 
         # overrides for the merged node
         is_mpos = need_relax & (q == merged_pos)
@@ -342,7 +392,7 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
             is_mpos, jnp.where(recycled, nl_exact & m_par_exact_all, False), nl_exact
         )
         nl_relaxed = jnp.where(is_mpos, True, nl_relaxed)
-        q_valid = q_valid | (is_mpos & active)
+        q_valid = q_valid | is_mpos
         nl_state = _tree_where_mask(
             is_mpos & ~recycled,
             jax.tree_util.tree_map(
@@ -354,70 +404,64 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         nl_val = jnp.where(q_valid, nl_val, NEG_INF)
         nl_exact = nl_exact & q_valid
         nl_relaxed = nl_relaxed & q_valid
+        # exact-best-path flag, computed incrementally instead of a scalar
+        # backward walk (clean.rs:643-655): true iff the best in-edge chain
+        # hits an exact node before any relaxed one
+        par_ebp = c_ebp[jnp.clip(nl_bp, 0, W - 1)] & (nl_bp >= 0)
+        nl_ebp = (nl_exact | (~nl_relaxed & par_ebp)) & q_valid
 
         # LEL bookkeeping (clean.rs:796-800): first squashed layer is j,
         # so the last exact layer is the previous one (absolute index i).
-        squashed = (need_relax | need_restrict) & active
+        squashed = need_relax | need_restrict
         lel = jnp.where(squashed & (lel == LEL_NONE), i, lel)
 
-        # --- store ----------------------------------------------------------
-        write = active
-        S_state = _tree_where(
-            write,
-            _tree_set(S_state, i + 1, nl_state),
-            S_state,
+        y_edges = dict(
+            child=e_child.reshape(W, D),
+            cost=e_cost.reshape(W, D),
+            dval=f_dval.reshape(W, D),
+            valid=e_valid.reshape(W, D),
         )
-        S_val = S_val.at[i + 1].set(jnp.where(write, nl_val, S_val[i + 1]))
-        S_mask = S_mask.at[i + 1].set(jnp.where(write, q_valid, S_mask[i + 1]))
-        S_exact = S_exact.at[i + 1].set(jnp.where(write, nl_exact, S_exact[i + 1]))
-        S_relaxed = S_relaxed.at[i + 1].set(jnp.where(write, nl_relaxed, S_relaxed[i + 1]))
-        S_bp = S_bp.at[i + 1].set(jnp.where(write, nl_bp, S_bp[i + 1]))
-        S_bd = S_bd.at[i + 1].set(jnp.where(write, nl_bd, S_bd[i + 1]))
-        E_child = E_child.at[i].set(jnp.where(write, e_child.reshape(W, D), E_child[i]))
-        E_cost = E_cost.at[i].set(jnp.where(write, e_cost.reshape(W, D), E_cost[i]))
-        E_dval = E_dval.at[i].set(jnp.where(write, f_dval.reshape(W, D), E_dval[i]))
-        E_valid = E_valid.at[i].set(jnp.where(write, e_valid.reshape(W, D), E_valid[i]))
+        nxt = dict(
+            state=nl_state, val=nl_val, mask=q_valid, exact=nl_exact,
+            relaxed=nl_relaxed, bp=nl_bp, bd=nl_bd, ebp=nl_ebp,
+        )
+        return (nxt, assigned, lel, expanded, overflow), (y_layer, y_edges, var)
 
-        return (S_state, S_val, S_mask, S_exact, S_relaxed, S_rub, S_bp, S_bd,
-                E_child, E_cost, E_dval, E_valid, var_of, assigned, lel, expanded, overflow)
+    init = (zero_row, root_path_set, LEL_NONE, jnp.asarray(0, I32), jnp.asarray(False))
+    (term, assigned, lel, expanded, overflow), (ys, ye, var_of) = jax.lax.scan(
+        forward_step, init, jnp.arange(n, dtype=I32)
+    )
 
-    carry = (S_state, S_val, S_mask, S_exact, S_relaxed, S_rub, S_bp, S_bd,
-             E_child, E_cost, E_dval, E_valid, var_of, root_path_set,
-             LEL_NONE, jnp.asarray(0, I32), jnp.asarray(False))
-    carry = jax.lax.fori_loop(0, n, forward_step, carry)
-    (S_state, S_val, S_mask, S_exact, S_relaxed, S_rub, S_bp, S_bd,
-     E_child, E_cost, E_dval, E_valid, var_of, assigned, lel, expanded, overflow) = carry
+    # stack per-layer rows into [n+1, W] (terminal layer = final carry)
+    cat = lambda a, b: jnp.concatenate([a, b[None]], axis=0)
+    S_state = jax.tree_util.tree_map(cat, ys["state"], term["state"])
+    S_val = cat(ys["val"], term["val"])
+    S_mask = cat(ys["mask"], term["mask"])
+    S_exact = cat(ys["exact"], term["exact"])
+    S_relaxed = cat(ys["relaxed"], term["relaxed"])
+    S_rub = cat(ys["rub"], jnp.full((W,), INF, VALUE_DTYPE))
+    S_bp = cat(ys["bp"], term["bp"])
+    S_bd = cat(ys["bd"], term["bd"])
+    E_child, E_cost, E_dval, E_valid = ye["child"], ye["cost"], ye["dval"], ye["valid"]
 
     # ======================= finalization ==================================
-    term_mask = S_mask[n]
-    term_val = jnp.where(term_mask, S_val[n], NEG_INF)
+    term_mask = term["mask"]
+    term_val = jnp.where(term_mask, term["val"], NEG_INF)
     feasible = jnp.any(term_mask)
     best_slot = jnp.argmax(term_val)
     best_value = term_val[best_slot]
-    texact = term_mask & S_exact[n]
-    tev = jnp.where(texact, S_val[n], NEG_INF)
+    texact = term_mask & term["exact"]
+    tev = jnp.where(texact, term["val"], NEG_INF)
     bx_feasible = jnp.any(texact)
     bx_slot = jnp.argmax(tev)
     bx_value = tev[bx_slot]
 
     is_exact_dd = lel == (n + 1)  # no layer was ever squashed (clean.rs:635)
 
-    # EBPO: exact best path (clean.rs:634-655)
-    def ebpo_step(k, st):
-        layer = n - k
-        slot, res, done = st
-        nd_relaxed = S_relaxed[layer, slot]
-        nd_exact = S_exact[layer, slot]
-        new_done = done | nd_exact | nd_relaxed
-        new_res = jnp.where(done, res, jnp.where(nd_exact, True, jnp.where(nd_relaxed, False, res)))
-        nslot = jnp.where(new_done, slot, jnp.clip(S_bp[layer, slot], 0, W - 1))
-        return (nslot, new_res, new_done)
-
+    # EBPO: exact best path (clean.rs:634-655), via the incrementally
+    # maintained per-node flag from the forward scan
     if comp == CompilationType.RELAXED:
-        _, ebp, _ = jax.lax.fori_loop(
-            0, n + 1, ebpo_step, (best_slot, jnp.asarray(True), ~feasible)
-        )
-        has_ebp = feasible & ebp
+        has_ebp = feasible & term["ebp"][best_slot]
     else:
         has_ebp = jnp.asarray(False)
 
@@ -427,7 +471,7 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
 
     # --- cutset + above-cutset planes (clean.rs:547-606) -------------------
     do_cutset = jnp.asarray(comp == CompilationType.RELAXED) | is_exact_dd
-    layer_idx = jnp.arange(L1, dtype=I32)[:, None]
+    layer_idx = jnp.arange(n + 1, dtype=I32)[:, None]
     if spec.cutset_type == CutsetType.LAST_EXACT_LAYER:
         lel_eff = lel  # == n+1 when never squashed
         above = S_mask & (layer_idx <= lel_eff) & do_cutset
@@ -443,86 +487,87 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
             [S_exact[:n] & S_mask[:n] & has_inexact_child, jnp.zeros((1, W), bool)], axis=0
         ) & do_cutset
 
-    # --- local bounds, bottom-up (clean.rs:448-475) ------------------------
+    # --- local bounds, bottom-up reverse scan (clean.rs:448-475) -----------
     do_locb = jnp.asarray(comp == CompilationType.RELAXED) & ~is_exact_dd
-    value_bot = jnp.full((L1, W), NEG_INF, VALUE_DTYPE)
-    marked = jnp.zeros((L1, W), bool)
-    value_bot = value_bot.at[n].set(jnp.where(term_mask & do_locb, 0, NEG_INF))
-    marked = marked.at[n].set(term_mask & do_locb)
+    vb_n = jnp.where(term_mask & do_locb, 0, NEG_INF).astype(VALUE_DTYPE)
+    mk_n = term_mask & do_locb
 
-    def locb_step(k, st):
-        value_bot, marked = st
-        l = n - 1 - k
-        cc = jnp.clip(E_child[l], 0, W - 1)
-        ev = E_valid[l] & (E_child[l] >= 0)
-        cm = ev & marked[l + 1][cc]
-        contrib = jnp.where(cm, sat_add(value_bot[l + 1][cc], E_cost[l]), NEG_INF)
+    def locb_step(carry, xs):
+        # carry = marked-effective bottom values (NEG_INF encodes unmarked);
+        # one gather instead of separate (value_bot, marked) gathers
+        vb_eff_next = carry
+        ec, eco, ev = xs
+        cc = jnp.clip(ec, 0, W - 1)
+        ok = ev & (ec >= 0)
+        g = vb_eff_next[cc]
+        cm = ok & (g > NEG_INF)
+        contrib = jnp.where(cm, sat_add(g, eco), NEG_INF)
         vb = jnp.max(contrib, axis=1)
         mk = jnp.any(cm, axis=1)
-        value_bot = value_bot.at[l].set(jnp.where(mk, vb, value_bot[l]))
-        marked = marked.at[l].set(mk)
-        return (value_bot, marked)
+        return jnp.where(mk, vb, NEG_INF), (vb, mk)
 
-    value_bot, marked = jax.lax.fori_loop(0, n, locb_step, (value_bot, marked))
+    _, (vb_stack, mk_stack) = jax.lax.scan(
+        locb_step, jnp.where(mk_n, vb_n, NEG_INF), (E_child, E_cost, E_valid),
+        reverse=True,
+    )
+    value_bot = cat(vb_stack, vb_n)
+    marked = cat(mk_stack, mk_n)
 
-    # --- thresholds, bottom-up (clean.rs:478-532) --------------------------
+    # --- thresholds, bottom-up reverse scan (clean.rs:478-532) -------------
     do_thresh = do_cutset
     best_known = jnp.maximum(best_lb, jnp.where(bx_feasible, bx_value, NEG_INF))
-    theta = jnp.full((L1, W), INF, VALUE_DTYPE)
-    has_theta = jnp.zeros((L1, W), bool)
+
+    def thresh_rules(alive, val, rub, vb, cutf, exact, th, hs):
+        """Per-node threshold rules (clean.rs:503-517)."""
+        tot_rub = sat_add(val, rub)
+        b1 = tot_rub <= best_known
+        th1 = sat_sub(best_known, rub)
+        tot_locb = sat_add(val, vb)
+        th2a = jnp.minimum(jnp.where(hs, th, INF), sat_sub(best_known, vb))
+        th2 = jnp.where(tot_locb <= best_known, th2a, val)
+        b3 = exact & ~hs
+        new_th = jnp.where(b1, th1, jnp.where(cutf, th2, jnp.where(b3, INF, th)))
+        new_hs = hs | b1 | cutf | b3
+        return jnp.where(alive, new_th, th), jnp.where(alive, new_hs, hs)
+
     if spec.cutset_type == CutsetType.LAST_EXACT_LAYER:
         t_init = term_mask & bx_feasible & is_exact_dd
     else:
-        t_init = term_mask & bx_feasible & S_exact[n]
-    theta = theta.at[n].set(jnp.where(t_init, best_known, INF))
-    has_theta = has_theta.at[n].set(t_init)
-
-    def thresh_step(k, st):
-        theta, has_theta = st
-        l = n - k
-        alive = S_mask[l]
-        th = theta[l]
-        hs = has_theta[l]
-        tot_rub = sat_add(S_val[l], S_rub[l])
-        b1 = tot_rub <= best_known
-        th1 = sat_sub(best_known, S_rub[l])
-        tot_locb = sat_add(S_val[l], value_bot[l])
-        in_cut = cutflag[l]
-        th2a = jnp.minimum(jnp.where(hs, th, INF), sat_sub(best_known, value_bot[l]))
-        th2 = jnp.where(tot_locb <= best_known, th2a, S_val[l])
-        b3 = S_exact[l] & ~hs
-        new_th = jnp.where(b1, th1, jnp.where(in_cut, th2, jnp.where(b3, INF, th)))
-        new_hs = hs | b1 | in_cut | b3
-        new_th = jnp.where(alive, new_th, th)
-        new_hs = jnp.where(alive, new_hs, hs)
-        theta = theta.at[l].set(new_th)
-        has_theta = has_theta.at[l].set(new_hs)
-
-        # propagate to the parent layer via in-edges (clean.rs:522-528)
-        def prop(theta, has_theta):
-            lp = l - 1
-            cc = jnp.clip(E_child[lp], 0, W - 1)
-            ev = E_valid[lp] & (E_child[lp] >= 0)
-            ch_has = ev & new_hs[cc] & alive[cc]
-            cand = jnp.where(ch_has, sat_sub(new_th[cc], E_cost[lp]), INF)
-            pmin = jnp.min(cand, axis=1)
-            p_has = jnp.any(ch_has, axis=1)
-            cur = jnp.where(has_theta[lp], theta[lp], INF)
-            theta = theta.at[lp].set(jnp.where(p_has, jnp.minimum(cur, pmin), theta[lp]))
-            has_theta = has_theta.at[lp].set(has_theta[lp] | p_has)
-            return theta, has_theta
-
-        theta, has_theta = jax.lax.cond(
-            l > 0, prop, lambda a, b: (a, b), theta, has_theta
-        )
-        return (theta, has_theta)
-
-    theta, has_theta = jax.lax.cond(
-        do_thresh,
-        lambda st: jax.lax.fori_loop(0, n + 1, thresh_step, st),
-        lambda st: st,
-        (theta, has_theta),
+        t_init = term_mask & bx_feasible & term["exact"]
+    th_n = jnp.where(t_init, best_known, INF)
+    th_n, hs_n = thresh_rules(
+        term_mask, term["val"], S_rub[n], value_bot[n], cutflag[n], term["exact"],
+        th_n, t_init,
     )
+
+    def thresh_step(carry, xs):
+        # carry = propagation-effective thresholds of the child layer: INF
+        # encodes "nothing to propagate" (alive & has_theta folded in);
+        # a genuine INF threshold then propagates as INF-cost ~ INF, which
+        # prunes identically to the reference's Some(MAX) propagation.
+        th_eff_next = carry
+        ec, eco, ev, val_l, rub_l, vb_l, cutf_l, exact_l, mask_l = xs
+        cc = jnp.clip(ec, 0, W - 1)
+        ok = ev & (ec >= 0)
+        # propagate children's thresholds along in-edges (clean.rs:522-528)
+        g = jnp.where(ok, th_eff_next[cc], INF)
+        ch_has = g < INF
+        cand = jnp.where(ch_has, sat_sub(g, eco), INF)
+        th_l = jnp.min(cand, axis=1)
+        hs_l = jnp.any(ch_has, axis=1)
+        th_l = jnp.where(hs_l, th_l, INF)
+        th_l, hs_l = thresh_rules(mask_l, val_l, rub_l, vb_l, cutf_l, exact_l, th_l, hs_l)
+        return jnp.where(hs_l & mask_l, th_l, INF), (th_l, hs_l)
+
+    _, (th_stack, hs_stack) = jax.lax.scan(
+        thresh_step,
+        jnp.where(hs_n & term_mask, th_n, INF),
+        (E_child, E_cost, E_valid, S_val[:n], S_rub[:n], value_bot[:n],
+         cutflag[:n], S_exact[:n], S_mask[:n]),
+        reverse=True,
+    )
+    theta = jnp.where(do_thresh, cat(th_stack, th_n), INF)
+    has_theta = cat(hs_stack, hs_n) & do_thresh
 
     return dict(
         state=S_state, value=S_val, mask=S_mask, exact=S_exact, relaxed=S_relaxed,

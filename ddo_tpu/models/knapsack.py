@@ -92,8 +92,10 @@ class KPRelax(Relaxation):
         pw, pp = data["prefix_w"], data["prefix_p"]
         cap = state["capacity"]
         base_w = pw[depth]
-        # first index m (>= depth) with pw[m+1]-base_w > cap
-        m = jnp.searchsorted(pw, base_w + cap, side="right") - 1
+        # last index m with pw[m] <= base_w + cap, via a broadcasted compare
+        # (jnp.searchsorted lowers to a serial while loop on TPU; the dense
+        # compare+sum is one VPU fusion and vectorizes across the layer)
+        m = jnp.sum((pw <= base_w + cap).astype(jnp.int32)) - 1
         m = jnp.clip(m, depth, pw.shape[0] - 1)
         whole = pp[m] - pp[depth]
         rem = cap - (pw[m] - base_w)

@@ -1,0 +1,90 @@
+"""Scatter-free segment primitives for the dedup pipeline.
+
+TPU XLA lowers `scatter` (and therefore `jax.ops.segment_max` /
+`.at[idx].set`) to a mostly-serial loop, which flat-lined the engine at
+~1.5M node expansions/s.  All per-layer segment aggregation is instead
+expressed over *sorted* candidate arrays with:
+
+  * `jax.lax.cummax` to broadcast each run's head position down the run;
+  * segmented suffix scans (flip -> forward segmented scan -> flip) so
+    that each run head holds the full-run aggregate;
+  * `argsort` for permutation inversion instead of `.at[perm].set`.
+
+The segmented-scan operator over (flag, value) pairs is the classic
+associative monoid: combine(a, b) = (fa|fb, vb if fb else op(va, vb)).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def run_head_positions(head):
+    """For each sorted position, the position of its run's head.
+
+    `head` marks the first element of each run (invalid tail rows never
+    have head set; their result is the last head seen, mask accordingly).
+    """
+    C = head.shape[0]
+    idx = jnp.arange(C, dtype=jnp.int32)
+    return jax.lax.cummax(jnp.where(head, idx, -1))
+
+
+def _seg_suffix_scan(op, head, values):
+    """Segmented *suffix* scan: out[i] = op-fold of values[i..end of run).
+
+    Works on tuples of value arrays (all combined with the same tuple op).
+    `head` marks run starts in forward order.
+    """
+    # run-last flag in forward order == segment-start flag in reversed order
+    last = jnp.concatenate([head[1:], jnp.ones((1,), bool)])
+    f = jnp.flip(last)
+    vs = tuple(jnp.flip(v) for v in values)
+
+    def combine(a, b):
+        fa, va = a[0], a[1:]
+        fb, vb = b[0], b[1:]
+        merged = op(va, vb)
+        out = tuple(jnp.where(fb, x_b, m) for x_b, m in zip(vb, merged))
+        return (fa | fb,) + out
+
+    res = jax.lax.associative_scan(combine, (f,) + vs)
+    return tuple(jnp.flip(v) for v in res[1:])
+
+
+def seg_max_at_head(head, values):
+    """Per-run max, available at every position (exact at run heads)."""
+    (out,) = _seg_suffix_scan(lambda a, b: (jnp.maximum(a[0], b[0]),), head, (values,))
+    return out
+
+
+def seg_all_at_head(head, flags):
+    """Per-run logical AND, available at run heads."""
+    (out,) = _seg_suffix_scan(
+        lambda a, b: (a[0] & b[0],), head, (flags,)
+    )
+    return out
+
+
+def seg_argmax_pair_at_head(head, values, payload):
+    """Per-run (max value, argmax payload) with ties taking the LARGER
+    payload — replicating the reference's `>=` last-edge-wins update
+    (clean.rs:215-218) when payload is the candidate append index."""
+
+    def op(a, b):
+        va, pa = a
+        vb, pb = b
+        take_b = (vb > va) | ((vb == va) & (pb >= pa))
+        return (
+            jnp.where(take_b, vb, va),
+            jnp.where(take_b, pb, pa),
+        )
+
+    mv, mp = _seg_suffix_scan(op, head, (values, payload))
+    return mv, mp
+
+
+def invert_permutation(perm):
+    """inv[perm[i]] = i without scatter (argsort of the permutation)."""
+    return jnp.argsort(perm)

@@ -1,0 +1,108 @@
+"""Multi-device frontier parallelism over a `jax.sharding.Mesh`.
+
+The reference's only parallelism is a shared-memory thread pool racing on
+a mutex-guarded fringe (parallel.rs:287-653).  The TPU-native design
+(SURVEY.md section 2.4) replaces it with *data parallelism over the
+frontier batch*: pop K subproblems, shard the K lanes across the mesh's
+`lanes` axis, compile K DDs in one collective-free forward pass, then let
+XLA insert the cross-device reductions (the analogue of `pmax` on the
+incumbent, parallel.rs:446-454) when the per-lane results are combined.
+
+  reference mechanism                  | here
+  -------------------------------------+----------------------------------
+  thread-private DD compile            | one lane of the vmapped kernel
+  shared best_lb under a Mutex         | jnp.max over the sharded lane axis
+  Condvar starvation/termination       | host checks fringe emptiness
+  per-thread upper_bounds vector       | per-lane ub, reduced with max
+
+Lane counts that don't divide the mesh are padded with duplicate roots
+(masked out of the reductions by their `active` flag).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ddo_tpu.engine.mdd import compile_kernel
+from ddo_tpu.utils.num import NEG_INF
+
+
+def make_mesh(devices=None, axis: str = "lanes") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _sharded_superstep(spec, datas, root_states, root_values, root_depths,
+                       actives, best_lb, eff_widths, rpss):
+    """One frontier superstep over sharded lanes.
+
+    Returns the full per-lane DD outputs plus globally-reduced incumbent
+    statistics (XLA lowers the reductions over the sharded lane axis to
+    ICI collectives)."""
+    out = jax.vmap(
+        lambda rs, rv, rd, ew, ps: compile_kernel(spec, datas, rs, rv, rd, best_lb, ew, ps)
+    )(root_states, root_values, root_depths, eff_widths, rpss)
+    lane_best = jnp.where(
+        actives & out["bx_feasible"], out["bx_value"], NEG_INF
+    )
+    global_best = jnp.max(lane_best)  # pmax analogue (parallel.rs:446-454)
+    total_expanded = jnp.sum(jnp.where(actives, out["expanded"], 0))
+    return out, global_best, total_expanded
+
+
+class MeshCompiler:
+    """Drop-in for DDCompiler.compile_batch that shards lanes over a mesh."""
+
+    def __init__(self, bundle, width, cutset_type, mesh: Mesh, axis: str = "lanes"):
+        from ddo_tpu.engine.mdd import DDSpec
+        from ddo_tpu.core.types import CompilationType
+
+        self.bundle = bundle
+        self.mesh = mesh
+        self.axis = axis
+        self.lanes = mesh.devices.size
+        self._specs = {
+            ct: DDSpec(bundle, width, ct, cutset_type) for ct in CompilationType
+        }
+
+    def _shard(self, arr):
+        return jax.device_put(arr, NamedSharding(self.mesh, P(self.axis)))
+
+    def superstep(self, comp_type, subs, best_lb, eff_widths):
+        """Compile len(subs) DDs, padded/sharded to the mesh lane count."""
+        from ddo_tpu.engine.mdd import CompiledDD
+
+        K = self.lanes * max(1, -(-len(subs) // self.lanes))
+        pads = K - len(subs)
+        padded = list(subs) + [subs[0]] * pads
+        active = np.asarray([True] * len(subs) + [False] * pads)
+
+        states = jax.tree_util.tree_map(
+            lambda *xs: self._shard(jnp.stack([jnp.asarray(x) for x in xs])),
+            *[s.state for s in padded],
+        )
+        values = self._shard(jnp.asarray([s.value for s in padded], jnp.int32))
+        depths = self._shard(jnp.asarray([s.depth for s in padded], jnp.int32))
+        widths = self._shard(
+            jnp.asarray(list(eff_widths) + [1] * pads, jnp.int32)
+        )
+        psets = self._shard(jnp.asarray(np.stack([s.path_set for s in padded])))
+        actives = self._shard(jnp.asarray(active))
+
+        spec = self._specs[comp_type]
+        out, global_best, total_expanded = _sharded_superstep(
+            spec, self.bundle.datas, states, values, depths, actives,
+            best_lb, widths, psets,
+        )
+        outs = jax.tree_util.tree_map(np.asarray, out)
+        views = []
+        for k, sub in enumerate(subs):
+            lane = jax.tree_util.tree_map(lambda a: a[k], outs)
+            views.append(CompiledDD(spec, lane, sub))
+        return views, int(global_best), int(total_expanded)
