@@ -1,0 +1,205 @@
+"""Aircraft Landing Problem (ALP) — tensorized DP model.
+
+Reference model: /root/reference/ddo/examples/alp/{model,dominance,
+io_utils}.rs
+  * state = remaining aircraft per class + per-runway (prev_time,
+    prev_class) pairs kept SORTED for runway symmetry breaking
+    (model.rs AlpState / transition);
+  * decision value = class + nb_classes * runway, or DUMMY(-1) once all
+    aircraft are scheduled (model.rs to_decision / for_each_in_domain);
+  * a state dies if some class's next aircraft can land on no runway
+    (model.rs:135-138); duplicate runway states are branched once;
+  * arrival time = max(target, prev_time + separation) with DUMMY
+    (unknown) previous class using the min separation into the class
+    (model.rs get_arrival_time);
+  * cost = -(arrival - target)  (minimize total delay);
+  * merge: elementwise min rem / min prev_time with DUMMY class
+    (model.rs AlpRelax::merge); rub = 0;
+  * ranking = total prev_time (model.rs AlpRanking);
+  * dominance: key = (rem, prev_classes), coords = -prev_times, value
+    (dominance.rs).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddo_tpu.core.problem import Dominance, Problem, Relaxation, StateRanking
+from ddo_tpu.utils.num import INF, VALUE_DTYPE
+
+I32 = jnp.int32
+DUMMY = -1
+
+
+class Alp(Problem):
+    name = "alp"
+
+    def __init__(self, nb_classes, nb_runways, target, latest, classes, separation):
+        self.nb_classes = int(nb_classes)
+        self.nb_runways = int(nb_runways)
+        self.target = np.asarray(target, np.int64)
+        self.latest = np.asarray(latest, np.int64)
+        self.classes = np.asarray(classes, np.int64)
+        self.sep = np.asarray(separation, np.int64)
+        n = self.nb_variables = int(self.target.shape[0])
+        self.domain_size = self.nb_classes * self.nb_runways + 1  # + DUMMY
+        # next[c][rem] = aircraft to schedule next for class c (model.rs:31-35)
+        nxt = np.zeros((self.nb_classes, n + 1), np.int64)
+        fill = [[0] for _ in range(self.nb_classes)]
+        for i in range(n - 1, -1, -1):
+            fill[self.classes[i]].append(i)
+        for c in range(self.nb_classes):
+            nxt[c, : len(fill[c])] = fill[c]
+        self.min_sep_to = self.sep.min(axis=0)
+        self._data = dict(
+            target=jnp.asarray(self.target, I32),
+            latest=jnp.asarray(self.latest, I32),
+            classes=jnp.asarray(self.classes, I32),
+            sep=jnp.asarray(self.sep, I32),
+            next=jnp.asarray(nxt, I32),
+            min_sep_to=jnp.asarray(self.min_sep_to, I32),
+        )
+
+    @property
+    def data(self):
+        return self._data
+
+    def initial_state(self, data):
+        rem = np.zeros(self.nb_classes, np.int64)
+        for c in self.classes:
+            rem[c] += 1
+        return {
+            "rem": jnp.asarray(rem, I32),
+            "rw_time": jnp.zeros(self.nb_runways, I32),
+            "rw_class": jnp.full(self.nb_runways, DUMMY, I32),
+        }
+
+    def _arrival(self, data, rw_time, rw_class, aircraft):
+        """model.rs get_arrival_time, vectorized over runways: [R]."""
+        tgt = data["target"][aircraft]
+        cls = data["classes"][aircraft]
+        sep = jnp.where(
+            rw_class == DUMMY,
+            data["min_sep_to"][cls],
+            data["sep"][jnp.clip(rw_class, 0, self.nb_classes - 1), cls],
+        )
+        fresh = (rw_time == 0) & (rw_class == DUMMY)
+        return jnp.where(fresh, tgt, jnp.maximum(tgt, rw_time + sep))
+
+    def step(self, data, state, var, d, depth):
+        C, R = self.nb_classes, self.nb_runways
+        rem = state["rem"]
+        rw_time, rw_class = state["rw_time"], state["rw_class"]
+        is_dummy = d == C * R
+        c = jnp.clip(d % C, 0, C - 1)
+        r = jnp.clip(d // C, 0, R - 1)
+
+        tot_rem = jnp.sum(rem)
+        # candidate aircraft per class: [C]
+        craft = data["next"][jnp.arange(C), jnp.clip(rem, 0, self.nb_variables)]
+        # arrivals [C, R]
+        arr = jax.vmap(
+            lambda a: self._arrival(data, rw_time, rw_class, a)
+        )(craft)
+        feas = arr <= data["latest"][craft][:, None]  # [C, R]
+        class_ok = jnp.any(feas, axis=1) | (rem == 0)
+        all_ok = jnp.all(class_ok)
+        # runway symmetry: skip runway r if runway r-1 has an identical
+        # (time, class) pair (infos are kept sorted)
+        dup = jnp.concatenate([
+            jnp.zeros(1, bool),
+            (rw_time[1:] == rw_time[:-1]) & (rw_class[1:] == rw_class[:-1]),
+        ])
+        valid = jnp.where(
+            is_dummy,
+            tot_rem == 0,
+            (rem[c] > 0) & feas[c, r] & ~dup[r] & all_ok & (tot_rem > 0),
+        )
+
+        aircraft = craft[c]
+        arrival = arr[c, r]
+        cost = jnp.where(is_dummy, 0, -(arrival - data["target"][aircraft]))
+
+        nrem = rem.at[c].add(jnp.where(is_dummy, 0, -1))
+        nt = jnp.where(jnp.arange(R) == r, arrival, rw_time)
+        nc = jnp.where(jnp.arange(R) == r, c, rw_class)
+        # keep runway infos sorted by (time, class) (model.rs transition)
+        nt_s, nc_s = jax.lax.sort((nt, nc), num_keys=2)
+        nstate = {
+            "rem": jnp.where(is_dummy, rem, nrem).astype(I32),
+            "rw_time": jnp.where(is_dummy, rw_time, nt_s).astype(I32),
+            "rw_class": jnp.where(is_dummy, rw_class, nc_s).astype(I32),
+        }
+        dval = jnp.where(is_dummy, DUMMY, d).astype(I32)
+        return nstate, cost.astype(VALUE_DTYPE), dval, valid
+
+    def pack(self, state):
+        return jnp.concatenate([state["rem"], state["rw_time"], state["rw_class"]])
+
+
+class AlpRelax(Relaxation):
+    def __init__(self, problem: Alp):
+        self.problem = problem
+
+    @property
+    def data(self):
+        return self.problem.data
+
+    def merge(self, data, states, mask):
+        """model.rs AlpRelax::merge: min rem / min time, DUMMY class."""
+        m = mask[:, None]
+        big = jnp.asarray(INF, I32)
+        rem = jnp.min(jnp.where(m, states["rem"], big), axis=0)
+        t = jnp.min(jnp.where(m, states["rw_time"], big), axis=0)
+        R = self.problem.nb_runways
+        return {
+            "rem": rem.astype(I32),
+            "rw_time": t.astype(I32),
+            "rw_class": jnp.full(R, DUMMY, I32),
+        }
+
+
+class AlpRanking(StateRanking):
+    """model.rs AlpRanking: larger total prev_time preferred."""
+
+    def score(self, data, state):
+        return jnp.sum(state["rw_time"]).reshape(1)
+
+    def score_host(self, state):
+        return int(np.asarray(state["rw_time"]).sum())
+
+
+class AlpDominance(Dominance):
+    """dominance.rs: key = (rem, runway classes), coords = -prev_times."""
+
+    use_value = True
+
+    def key(self, state):
+        return (
+            np.asarray(state["rem"], np.int64).tobytes(),
+            np.asarray(state["rw_class"], np.int64).tobytes(),
+        )
+
+    def coords(self, state):
+        return -np.asarray(state["rw_time"], np.int64)
+
+
+def read_instance(path: str) -> Alp:
+    """io_utils.rs: flat whitespace numbers: n, C, R, then per aircraft
+    (target, latest, class), then the CxC separation matrix."""
+    data = []
+    with open(path) as f:
+        for line in f:
+            data.extend(int(x) for x in line.split())
+    n, C, R = data[0], data[1], data[2]
+    cnt = 3
+    target, latest, classes = [], [], []
+    for _ in range(n):
+        target.append(data[cnt])
+        latest.append(data[cnt + 1])
+        classes.append(data[cnt + 2])
+        cnt += 3
+    sep = np.asarray(data[cnt : cnt + C * C], np.int64).reshape(C, C)
+    return Alp(C, R, target, latest, classes, sep)

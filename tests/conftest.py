@@ -9,6 +9,8 @@ A persistent compilation cache makes suite re-runs skip XLA compiles.
 """
 import os
 
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 import jax
 
 os.environ["XLA_FLAGS"] = (
