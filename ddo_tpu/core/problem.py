@@ -99,6 +99,26 @@ class Problem:
             return jnp.zeros((1,), jnp.int32)
         return jnp.concatenate(cols)
 
+    def unpack(self, cols):
+        """Inverse of `pack` on the host: int32[K] numpy -> state pytree.
+
+        Required by the native search runtime, whose fringe stores only the
+        canonical key columns.  The default inverts the default `pack` by
+        splitting along the leaves of `initial_state`; models with a custom
+        packing must override both consistently (pack must be injective for
+        dedup correctness anyway, so a bijective encoding costs nothing).
+        """
+        template = self.initial_state(self.data)
+        leaves, treedef = jax.tree_util.tree_flatten(template)
+        out, k = [], 0
+        cols = np.asarray(cols)
+        for leaf in leaves:
+            size = int(np.prod(leaf.shape)) if leaf.ndim else 1
+            chunk = cols[k : k + size].astype(np.asarray(leaf).dtype)
+            out.append(chunk.reshape(leaf.shape) if leaf.ndim else chunk[0])
+            k += size
+        return jax.tree_util.tree_unflatten(treedef, out)
+
 
 class Relaxation:
     """Node-merge operator + arc relaxation + rough upper bound.

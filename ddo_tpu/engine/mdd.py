@@ -569,8 +569,13 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
     theta = jnp.where(do_thresh, cat(th_stack, th_n), INF)
     has_theta = cat(hs_stack, hs_n) & do_thresh
 
+    # canonical packed keys for every node (host-side dedup/caching rides
+    # these instead of re-packing states in Python)
+    S_keys = jax.vmap(v_pack)(S_state)  # [n+1, W, K]
+
     return dict(
         state=S_state, value=S_val, mask=S_mask, exact=S_exact, relaxed=S_relaxed,
+        keys=S_keys,
         rub=S_rub, bp=S_bp, bd=S_bd, var_of=var_of,
         value_bot=value_bot, marked=marked, theta=theta, has_theta=has_theta,
         above=above, cutflag=cutflag,
@@ -665,6 +670,59 @@ class CompiledDD:
                 state=state, value=value, path_vals=vals, path_set=pset,
                 ub=ub, depth=layer, key=state_key_bytes(state),
             )
+
+    # ----- vectorized batch extraction (native-runtime fast path) --------
+    def _paths_batch(self, layers, slots):
+        """Best-path walk for many nodes at once: [M, n] value/set arrays."""
+        M = len(layers)
+        n = self.n
+        vals = np.tile(self.root.path_vals, (M, 1)).astype(np.int32)
+        pset = np.tile(self.root.path_set, (M, 1)).astype(bool)
+        d0 = int(self.o["root_depth"])
+        cur_l = np.asarray(layers, np.int64).copy()
+        cur_s = np.asarray(slots, np.int64).copy()
+        for l in range(n, d0, -1):
+            act = cur_l == l
+            if not act.any():
+                continue
+            var = int(self.o["var_of"][l - 1])
+            ss = cur_s[act]
+            vals[act, var] = self.o["bd"][l, ss]
+            pset[act, var] = True
+            cur_s[act] = self.o["bp"][l, ss]
+            cur_l[act] -= 1
+        return vals, pset
+
+    def cutset_batch(self):
+        """Vectorized drain_cutset: (keys, depths, values, ubs, path_vals,
+        path_set) numpy arrays for every marked cutset node."""
+        n = self.n
+        if not self.o["feasible"]:
+            K = self.o["keys"].shape[2]
+            z = np.zeros(0, np.int32)
+            return (np.zeros((0, K), np.int32), z, z, z,
+                    np.zeros((0, n), np.int32), np.zeros((0, n), bool))
+        sel = self.o["cutflag"] & self.o["marked"]
+        layers, slots = np.nonzero(sel)
+        values = self.o["value"][layers, slots].astype(np.int64)
+        rub = np.minimum(values + self.o["rub"][layers, slots], INF)
+        locb = np.minimum(values + self.o["value_bot"][layers, slots], INF)
+        ubs = np.minimum(np.minimum(rub, locb), int(self.o["best_value"]))
+        keys = self.o["keys"][layers, slots]
+        vals, pset = self._paths_batch(layers, slots)
+        return (keys, layers.astype(np.int32), values.astype(np.int32),
+                ubs.astype(np.int32), vals, pset)
+
+    def cache_batch(self):
+        """Vectorized cache_updates: (depths, keys, thetas, explored)."""
+        sel = self.o["has_theta"] & self.o["above"]
+        layers, slots = np.nonzero(sel)
+        return (
+            layers.astype(np.int32),
+            self.o["keys"][layers, slots],
+            self.o["theta"][layers, slots],
+            (~self.o["cutflag"][layers, slots]).astype(np.uint8),
+        )
 
     def cache_updates(self):
         """(depth, state_key, theta, explored) records for the barrier cache

@@ -136,7 +136,9 @@ class Alp(Problem):
         return nstate, cost.astype(VALUE_DTYPE), dval, valid
 
     def pack(self, state):
-        return jnp.concatenate([state["rem"], state["rw_time"], state["rw_class"]])
+        # sorted-leaf order (rem, rw_class, rw_time) so the default unpack
+        # inverts it
+        return jnp.concatenate([state["rem"], state["rw_class"], state["rw_time"]])
 
 
 class AlpRelax(Relaxation):

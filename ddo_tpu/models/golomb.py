@@ -96,6 +96,17 @@ class Golomb(Problem):
             state["last"].reshape(1),
         ])
 
+    def unpack(self, cols):
+        import numpy as np
+        L = bs.nb_lanes(self.P)
+        cols = np.asarray(cols, np.int32)
+        return {
+            "marks": cols[:L].view(np.uint32),
+            "dists": cols[L:2 * L].view(np.uint32),
+            "m": cols[2 * L],
+            "last": cols[2 * L + 1],
+        }
+
 
 class GolombRelax(Relaxation):
     def __init__(self, problem: Golomb):

@@ -90,6 +90,9 @@ class Misp(Problem):
         # uint32 lanes bit-cast to int32 key columns
         return jax.lax.bitcast_convert_type(state["free"], I32).reshape(-1)
 
+    def unpack(self, cols):
+        return {"free": np.asarray(cols, np.int32).view(np.uint32)}
+
 
 class MispRelax(Relaxation):
     def __init__(self, problem: Misp):

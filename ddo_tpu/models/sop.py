@@ -90,6 +90,15 @@ class Sop(Problem):
             jax.lax.bitcast_convert_type(state["maybe"], I32).reshape(-1),
         ])
 
+    def unpack(self, cols):
+        L = bs.nb_lanes(self.nb_jobs)
+        cols = np.asarray(cols, np.int32)
+        return {
+            "prev": cols[:L].view(np.uint32),
+            "must": cols[L : 2 * L].view(np.uint32),
+            "maybe": cols[2 * L : 3 * L].view(np.uint32),
+        }
+
 
 class SopRelax(Relaxation):
     def __init__(self, problem: Sop):

@@ -110,6 +110,16 @@ class Srflp(Problem):
             state["cut"],
         ])
 
+    def unpack(self, cols):
+        from ddo_tpu.ops import bitset as _bs
+        L = _bs.nb_lanes(self.nb_variables)
+        cols = np.asarray(cols, np.int32)
+        return {
+            "must": cols[:L].view(np.uint32),
+            "maybe": cols[L : 2 * L].view(np.uint32),
+            "cut": cols[2 * L :],
+        }
+
 
 class SrflpRelax(Relaxation):
     def __init__(self, problem: Srflp):

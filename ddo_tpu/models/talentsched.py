@@ -96,6 +96,14 @@ class TalentSched(Problem):
             jax.lax.bitcast_convert_type(state["maybe"], I32).reshape(-1),
         ])
 
+    def unpack(self, cols):
+        L = bs.nb_lanes(self.nb_variables)
+        cols = np.asarray(cols, np.int32)
+        return {
+            "scenes": cols[:L].view(np.uint32),
+            "maybe": cols[L : 2 * L].view(np.uint32),
+        }
+
 
 class TalentSchedRelax(Relaxation):
     def __init__(self, problem: TalentSched):

@@ -125,6 +125,17 @@ class Tsptw(Problem):
             jax.lax.bitcast_convert_type(state["maybe"], I32).reshape(-1),
         ])
 
+    def unpack(self, cols):
+        L = bs.nb_lanes(self.nb_variables)
+        cols = np.asarray(cols, np.int32)
+        return {
+            "pos": cols[:L].view(np.uint32),
+            "e_lo": cols[L],
+            "e_hi": cols[L + 1],
+            "must": cols[L + 2 : 2 * L + 2].view(np.uint32),
+            "maybe": cols[2 * L + 2 : 3 * L + 2].view(np.uint32),
+        }
+
 
 class TsptwRelax(Relaxation):
     def __init__(self, problem: Tsptw):

@@ -248,3 +248,188 @@ def ParallelSolver(bundle, batch=16, **kw):
     """TPU analogue of parallel.rs:287 — frontier parallelism via a vmapped
     superstep instead of worker threads."""
     return SequentialSolver(bundle, batch=batch, **kw)
+
+
+class NativeSolver:
+    """Branch-and-bound driven by the C++ host runtime (ddo_tpu/native):
+    state-deduplicated fringe + threshold cache live in native code, and
+    all per-superstep host work (drain, cache updates, pushes) crosses
+    the FFI as numpy batches — no per-node Python.
+
+    The native analogue of the reference's Rust search runtime
+    (no_duplicate.rs / simple.rs) wrapped around the same TPU superstep
+    as `SequentialSolver(batch=K)`.
+    """
+
+    def __init__(
+        self,
+        bundle: ModelBundle,
+        width_heu: Optional[WidthHeuristic] = None,
+        buffer_width: Optional[int] = None,
+        cutset_type: CutsetType = CutsetType.LAST_EXACT_LAYER,
+        use_cache: bool = True,
+        dominance: Optional[DominanceChecker] = None,
+        cutoff: Optional[Cutoff] = None,
+        batch: int = 8,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from ddo_tpu.native import NativeSearch
+
+        self.bundle = bundle
+        problem = bundle.problem
+        self.problem = problem
+        n = problem.nb_variables
+        self.width_heu = width_heu or FixedWidth(max(2, problem.domain_size))
+        root = root_subproblem(problem)
+        W = buffer_width or max(
+            problem.domain_size, self.width_heu.max_width(root)
+        )
+        W = max(8, 1 << (int(W) - 1).bit_length())
+        self.compiler = DDCompiler(bundle, W, cutset_type)
+        self.use_cache = use_cache
+        self.dominance = dominance
+        self.cutoff = cutoff or NoCutoff()
+        self.batch = batch
+
+        self._root = root
+        self._root_key = np.asarray(
+            problem.pack(jax.tree_util.tree_map(jnp.asarray, root.state))
+        ).astype(np.int32)
+        self.K = int(self._root_key.shape[0])
+        self.ns = NativeSearch(n, self.K)
+
+        self.best_lb = NEG_INF
+        self.best_ub = INF
+        self.best_sol = None
+        self.abort_proof = None
+        self.explored_count = 0
+        self.expanded_nodes = 0
+
+    # ------------------------------------------------------------------ API
+    def maximize(self) -> Completion:
+        n = self.problem.nb_variables
+        self.ns.push_batch(
+            self._root_key[None, :], [0], [self._root.value], [INF], [0],
+            self._root.path_vals[None, :], self._root.path_set[None, :],
+        )
+
+        while True:
+            if self.cutoff.must_stop():
+                self.abort_proof = Reason.CUTOFF_OCCURRED
+                self.ns.clear()
+                self.ns.cache_clear()
+                break
+            keys, depths, values, ubs, pvals, psets, popped = self.ns.pop_batch(
+                self.batch, self.best_lb
+            )
+            self.explored_count += popped
+            if len(depths) == 0:
+                if len(self.ns) == 0:
+                    break
+                continue
+            self.best_ub = min(self.best_ub, max(int(ubs[0]), self.best_lb))
+            if self.use_cache:
+                keep = self.ns.cache_must_explore_batch(depths, keys, values)
+                keys, depths, values, ubs = keys[keep], depths[keep], values[keep], ubs[keep]
+                pvals, psets = pvals[keep], psets[keep]
+                if len(depths) == 0:
+                    continue
+
+            subs = [
+                SubProblem(
+                    state=self.problem.unpack(keys[i]),
+                    value=int(values[i]), path_vals=pvals[i], path_set=psets[i],
+                    ub=int(ubs[i]), depth=int(depths[i]),
+                )
+                for i in range(len(depths))
+            ]
+            widths = [max(1, self.width_heu.max_width(s)) for s in subs]
+
+            restricted = self.compiler.compile_batch(
+                CompilationType.RESTRICTED, subs, self.best_lb, widths
+            )
+            need_relax, widths2, node_ubs = [], [], []
+            for s, dd, w in zip(subs, restricted, widths):
+                self.expanded_nodes += int(dd.o["expanded"])
+                self._maybe_update_best(dd)
+                self._absorb_cache(dd)
+                if not dd.is_exact():
+                    need_relax.append(s)
+                    widths2.append(w)
+                    node_ubs.append(s.ub)
+            if not need_relax:
+                continue
+            relaxed = self.compiler.compile_batch(
+                CompilationType.RELAXED, need_relax, self.best_lb, widths2
+            )
+            for s, dd, node_ub in zip(need_relax, relaxed, node_ubs):
+                self.expanded_nodes += int(dd.o["expanded"])
+                self._maybe_update_best(dd)
+                self._absorb_cache(dd)
+                if not dd.is_exact():
+                    self._enqueue(dd, node_ub)
+
+        if self.abort_proof is None:
+            self.best_ub = self.best_lb
+        return Completion(
+            is_exact=self.abort_proof is None,
+            best_value=self.best_lb if self.best_sol is not None else None,
+        )
+
+    def _maybe_update_best(self, dd):
+        val = dd.best_exact_value()
+        if val is not None and val > self.best_lb:
+            self.best_lb = val
+            self.best_sol = dd.best_exact_solution()
+
+    def _absorb_cache(self, dd):
+        if not self.use_cache:
+            return
+        depths, keys, thetas, explored = dd.cache_batch()
+        self.ns.cache_update_batch(depths, keys, thetas, explored)
+
+    def _enqueue(self, dd, node_ub):
+        keys, depths, values, ubs, pvals, psets = dd.cutset_batch()
+        ubs = np.minimum(ubs, node_ub)
+        keep = ubs > self.best_lb
+        keys, depths, values, ubs = keys[keep], depths[keep], values[keep], ubs[keep]
+        pvals, psets = pvals[keep], psets[keep]
+        if self.dominance is not None and len(depths):
+            keep2 = np.ones(len(depths), bool)
+            for i in range(len(depths)):
+                st = self.problem.unpack(keys[i])
+                res = self.dominance.is_dominated_or_insert(
+                    st, keys[i].tobytes(), int(depths[i]), int(values[i])
+                )
+                keep2[i] = not res.dominated
+            keys, depths, values, ubs = keys[keep2], depths[keep2], values[keep2], ubs[keep2]
+            pvals, psets = pvals[keep2], psets[keep2]
+        self.ns.push_batch(
+            keys, depths, values, ubs, np.zeros(len(depths), np.int64),
+            pvals, psets,
+        )
+
+    # ------------------------------------------------------- queries
+    def best_value(self):
+        return self.best_lb if self.best_sol is not None else None
+
+    def best_solution(self):
+        return self.best_sol
+
+    def best_lower_bound(self):
+        return self.best_lb
+
+    def best_upper_bound(self):
+        return self.best_ub
+
+    def gap(self) -> float:
+        ub, lb = self.best_ub, self.best_lb
+        if ub >= INF or lb <= NEG_INF:
+            return 1.0
+        u, l = max(abs(ub), abs(lb)), min(abs(ub), abs(lb))
+        return (u - l) / u if u else 0.0
+
+    def explored(self):
+        return self.explored_count

@@ -1,0 +1,74 @@
+"""Native (C++) search runtime: parity with the Python solver."""
+
+import numpy as np
+import pytest
+
+import ddo_tpu
+from ddo_tpu import FixedWidth, ModelBundle
+from ddo_tpu.search.solver import NativeSolver
+
+
+def test_native_knapsack():
+    from ddo_tpu.models.knapsack import KPRanking, KPRelax, read_instance
+
+    pb = read_instance("/root/reference/resources/knapsack/f2_l-d_kp_20_878")
+    bundle = ModelBundle(pb, KPRelax(pb), KPRanking())
+    solver = NativeSolver(bundle, width_heu=FixedWidth(3), batch=4)
+    completion = solver.maximize()
+    assert completion.is_exact
+    assert solver.best_value() == 1024
+    vals, pset = solver.best_solution()
+    w = int(np.sum(pb.weight * vals * pset))
+    assert w <= pb.capacity
+
+
+def test_native_misp():
+    from ddo_tpu.models.misp import MispRanking, MispRelax, read_instance
+
+    pb = read_instance("/root/reference/resources/misp/johnson8-2-4.clq")
+    bundle = ModelBundle(pb, MispRelax(pb), MispRanking(pb))
+    solver = NativeSolver(
+        bundle, width_heu=FixedWidth(16), batch=4,
+        cutset_type=ddo_tpu.LAST_EXACT_LAYER,
+    )
+    completion = solver.maximize()
+    assert completion.is_exact
+    assert solver.best_value() == 4
+
+
+def test_native_tsptw():
+    from ddo_tpu.models.tsptw import TsptwRanking, TsptwRelax, TsptwWidth, read_instance
+
+    pb = read_instance("/root/reference/resources/tsptw/Langevin/N20ft301.dat")
+    bundle = ModelBundle(pb, TsptwRelax(pb), TsptwRanking())
+    solver = NativeSolver(
+        bundle, width_heu=TsptwWidth(pb.nb_variables, 1), batch=4,
+        cutset_type=ddo_tpu.FRONTIER, buffer_width=64,
+    )
+    completion = solver.maximize()
+    assert completion.is_exact
+    assert round(-solver.best_value() / 10000.0, 2) == 661.60
+
+
+def test_native_psp():
+    from ddo_tpu.models.psp import PspRanking, PspRelax, read_instance
+
+    pb, optimum = read_instance("/root/reference/resources/psp/instancesWith2items/2")
+    assert optimum is not None
+    bundle = ModelBundle(pb, PspRelax(pb), PspRanking())
+    solver = NativeSolver(bundle, width_heu=FixedWidth(16), batch=4)
+    completion = solver.maximize()
+    assert completion.is_exact
+    assert -solver.best_value() == optimum
+
+    # 5-item instance (no recorded optimum): native must agree with the
+    # Python solver
+    pb5, _ = read_instance("/root/reference/resources/psp/instancesWith5items/1")
+    b5 = ModelBundle(pb5, PspRelax(pb5), PspRanking())
+    s_native = NativeSolver(b5, width_heu=FixedWidth(8), batch=4)
+    c_native = s_native.maximize()
+    s_py = ddo_tpu.SequentialSolver(b5, width_heu=FixedWidth(8), batch=4,
+                                    cache=ddo_tpu.SimpleCache())
+    c_py = s_py.maximize()
+    assert c_native.is_exact and c_py.is_exact
+    assert s_native.best_value() == s_py.best_value()
