@@ -48,7 +48,8 @@ from ddo_tpu.search.dominance import (
     SimpleDominanceChecker,
 )
 from ddo_tpu.search.fringe import Fringe, NoDupFringe, SimpleFringe
-from ddo_tpu.search.solver import ParallelSolver, SequentialSolver
+from ddo_tpu.search.solver import NativeSolver, ParallelSolver, SequentialSolver
+from ddo_tpu.parallel.mesh import MeshCompiler, MeshSolver, make_mesh
 
 from ddo_tpu.utils.num import INF, NEG_INF
 
@@ -67,8 +68,10 @@ def _solver(batch, cache_cls, cutset):
 
 
 # Solver alias matrix (solver/mod.rs:29-47).  {Seq,Par} x {Caching,NoCaching}
-# x {Lel, Fc}; the Pooled variants are aliased onto the frontier-cutset
-# engine until the long-arc (pooled) engine lands.
+# x {Lel, Fc, Pooled}.  The Pooled variants use the frontier-cutset engine
+# (the reference pooled MDD is frontier-only, pooled.rs:537); the pooled
+# MDD's defining long-arc behavior is engaged automatically whenever the
+# model overrides `Problem.is_impacted_by` (see engine/mdd.py).
 SeqNoCachingSolverLel = _solver(1, EmptyCache, LAST_EXACT_LAYER)
 SeqNoCachingSolverFc = _solver(1, EmptyCache, FRONTIER)
 SeqCachingSolverLel = _solver(1, SimpleCache, LAST_EXACT_LAYER)

@@ -85,6 +85,20 @@ class Problem:
         """
         raise NotImplementedError
 
+    # -- long arcs -------------------------------------------------------------
+    def is_impacted_by(self, data, state, var):
+        """Long-arc hook (abstraction/dp.rs:66-71, pooled.rs:608-680).
+
+        Override to return a traced bool: False means branching `var` does
+        not impact `state`.  When a model overrides this, the engine runs in
+        pooled/long-arc mode: unimpacted nodes cross the layer through one
+        zero-cost identity arc whose decision is never recorded on the
+        path — the dense-tensor equivalent of the reference's node pool.
+        The base implementation (not overridden) means every variable
+        impacts every state and the engine skips the extra work entirely.
+        """
+        return jnp.asarray(True)
+
     # -- dedup key -----------------------------------------------------------
     def pack(self, state):
         """Canonical fixed-width key: int32[K] uniquely identifying `state`.

@@ -16,10 +16,11 @@ jitted XLA program over fixed-shape tensors:
   * restriction/relaxation = masked top-k by (value, ranking) with a
     *traced* effective width, so width heuristics never trigger recompiles
     (replaces clean.rs:802-876);
-  * edges are stored outbound as `[n, W, D]` (child slot, cost, decision
-    value, valid): the bottom-up local-bound (clean.rs:448-475) and
-    threshold (clean.rs:478-532) passes become per-layer gathers + masked
-    reductions;
+  * edges are stored outbound, FLAT `[n, W*D]` (child slot, cost, decision
+    value, valid — the trailing dim must be the large one or TPU tile
+    padding blows the buffers up 64x): the bottom-up local-bound
+    (clean.rs:448-475) and threshold (clean.rs:478-532) passes become
+    per-layer gathers + masked reductions;
   * exactness/cutset bookkeeping (NodeFlags, node_flags.rs:48-63) becomes
     parallel boolean planes.
 
@@ -52,7 +53,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ddo_tpu.core.problem import ModelBundle
+from ddo_tpu.core.problem import ModelBundle, Problem
 from ddo_tpu.core.types import CompilationType, CutsetType, SubProblem, state_key_bytes
 from ddo_tpu.ops import segments as seg_ops
 from ddo_tpu.utils.num import INF, NEG_INF, VALUE_DTYPE, sat_add, sat_sub
@@ -175,6 +176,18 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
     v_pack = jax.vmap(problem.pack)
     v_rank = jax.vmap(lambda s: jnp.atleast_1d(jnp.asarray(ranking.score(kdata, s), I32)))
 
+    # long arcs (the pooled MDD's defining feature, pooled.rs:608-680 +
+    # Problem::is_impacted_by, abstraction/dp.rs:66-71): when the model
+    # overrides `is_impacted_by`, nodes whose state is not impacted by the
+    # branched variable "skip" the layer through one identity candidate
+    # (slot 0, zero cost) whose decision is never recorded on the path —
+    # the dense-tensor equivalent of keeping them in the pool.
+    has_long_arcs = type(problem).is_impacted_by is not Problem.is_impacted_by
+    if has_long_arcs:
+        v_imp = jax.vmap(
+            lambda s, v: problem.is_impacted_by(pdata, s, v), in_axes=(0, None)
+        )
+
     # --- the root layer as a [W] row (slot 0) -------------------------------
     r_state = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(jnp.asarray(x), (W,) + jnp.shape(x)), root_state
@@ -190,6 +203,7 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         relaxed=jnp.zeros((W,), bool),
         bp=jnp.full((W,), -1, I32),
         bd=jnp.zeros((W,), I32),
+        bs=jnp.zeros((W,), bool),
         ebp=jnp.zeros((W,), bool),
     )
 
@@ -207,6 +221,7 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         c_relaxed = jnp.where(is_root, False, cur["relaxed"])
         c_bp = jnp.where(is_root, -1, cur["bp"])
         c_bd = jnp.where(is_root, 0, cur["bd"])
+        c_bs = jnp.where(is_root, False, cur["bs"])
         c_ebp = jnp.where(is_root, r_mask, cur["ebp"])
 
         if dynamic_order:
@@ -219,16 +234,37 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         # --- RUB pruning (clean.rs:360-365) --------------------------------
         rub = jnp.where(c_mask, v_rub(c_state, i), INF)
         expand_ok = c_mask & (sat_add(c_val, rub) > best_lb)
-        expanded = expanded + jnp.sum(expand_ok.astype(I32))
+        if has_long_arcs:
+            imp = v_imp(c_state, var)  # [W] bool: really branched here?
+            expanded = expanded + jnp.sum((expand_ok & imp).astype(I32))
+        else:
+            expanded = expanded + jnp.sum(expand_ok.astype(I32))
 
         y_layer = dict(
             state=c_state, val=c_val, mask=c_mask, exact=c_exact,
-            relaxed=c_relaxed, rub=rub, bp=c_bp, bd=c_bd,
+            relaxed=c_relaxed, rub=rub, bp=c_bp, bd=c_bd, bs=c_bs,
         )
 
         # --- expansion: vmap over [W, D] -----------------------------------
         dom = jnp.arange(D, dtype=I32)
         nstate, cost, dval, valid = v_step(c_state, var, dom, i)
+        if has_long_arcs:
+            # unimpacted nodes: one identity candidate at domain slot 0
+            keep = imp[:, None]  # [W, 1]
+            valid = jnp.where(keep, valid, dom[None, :] == 0)
+            nstate = jax.tree_util.tree_map(
+                lambda real, cur: jnp.where(
+                    imp.reshape((W, 1) + (1,) * (real.ndim - 2)),
+                    real,
+                    jnp.broadcast_to(cur[:, None], real.shape),
+                ),
+                nstate,
+                c_state,
+            )
+            cost = jnp.where(keep, cost, 0)
+            skip2d = jnp.broadcast_to(~keep, (W, D))
+        else:
+            skip2d = jnp.zeros((W, D), bool)
         valid = valid & expand_ok[:, None]
         cand_val = sat_add(c_val[:, None], cost)  # [W, D]
 
@@ -240,6 +276,7 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         f_state = jax.tree_util.tree_map(lambda a: a.reshape((C,) + a.shape[2:]), nstate)
         f_parent = idxs // D
         f_pexact = c_exact[f_parent]
+        f_skip = skip2d.reshape(C)
 
         # --- dedup: one payload-riding sort, best edge first in every run --
         # sort by (valid, key, -value, -append idx) so that the head of each
@@ -253,15 +290,15 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         inval = (~f_valid).astype(I32)
         key_ops = (inval,) + tuple(f_keys[:, k] for k in range(K)) + (-f_val, -idxs)
         state_cols, state_spec = _tree_to_cols(f_state)
-        payload = (f_parent, f_dval, f_pexact) + state_cols
+        payload = (f_parent, f_dval, f_pexact, f_skip) + state_cols
         sorted_ops = jax.lax.sort(
             key_ops + payload, num_keys=len(key_ops), is_stable=False
         )
         kv = jnp.stack(sorted_ops[1 : 1 + K], axis=1)
         val_s_raw = -sorted_ops[1 + K]
         perm = -sorted_ops[2 + K]
-        parent_s, dval_s, pexact_s = sorted_ops[3 + K : 6 + K]
-        slot_state = _tree_from_cols(state_spec, sorted_ops[6 + K :])
+        parent_s, dval_s, pexact_s, skip_s = sorted_ops[3 + K : 7 + K]
+        slot_state = _tree_from_cols(state_spec, sorted_ops[7 + K :])
         valid_s = sorted_ops[0] == 0
         val_s = jnp.where(valid_s, val_s_raw, NEG_INF)
         first = jnp.concatenate([jnp.ones((1,), bool), jnp.any(kv[1:] != kv[:-1], axis=1)])
@@ -272,6 +309,7 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         slot_val = val_s
         slot_bp = jnp.where(valid_s, parent_s, -1)
         slot_bd = jnp.where(valid_s, dval_s, 0)
+        slot_bs = valid_s & skip_s  # best in-edge is a long (skip) arc
         # exactness = AND over the run's parents, via prefix-sum difference
         inexact_int = (valid_s & ~pexact_s).astype(I32)
         X = jnp.concatenate([jnp.zeros((1,), I32), jnp.cumsum(inexact_int)])
@@ -285,13 +323,21 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         _, cand_slot = jax.lax.sort((perm, head_pos), num_keys=1, is_stable=False)
 
         # --- squash: restrict (clean.rs:802-815) / relax (clean.rs:817-876)
+        # The reference only ever squashes a layer it is about to expand
+        # (_squash_if_needed runs inside _move_to_next_layer, clean.rs:657),
+        # so the TERMINAL layer is never restricted/relaxed.  We honor that
+        # by lifting the cap to the full buffer width W on the last step;
+        # squashing there only happens on true buffer overflow (> W), where
+        # merging (relaxed) / truncating (restricted) keeps soundness.
         j = i + 1 - root_depth  # DD-local index of the layer being produced
+        is_last = i == (n - 1)
+        cap = jnp.where(is_last, W, eff_width)
         if comp == CompilationType.RESTRICTED:
-            need_restrict = U > eff_width
+            need_restrict = U > cap
             need_relax = jnp.asarray(False)
         elif comp == CompilationType.RELAXED:
             need_restrict = jnp.asarray(False)
-            need_relax = (U > eff_width) & (j >= 2)
+            need_relax = (U > cap) & (j >= 2)
         else:
             need_restrict = jnp.asarray(False)
             need_relax = jnp.asarray(False)
@@ -302,17 +348,17 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         # promising first, invalid last; next-layer data rides as payload
         q_keys = (inval2, -slot_val) + tuple(-slot_rank[:, r] for r in range(R))
         slot_cols, _ = _tree_to_cols(slot_state)
-        payload2 = (idxs, slot_bp, slot_bd, slot_exact) + slot_cols
+        payload2 = (idxs, slot_bp, slot_bd, slot_exact, slot_bs) + slot_cols
         sorted2 = jax.lax.sort(q_keys + payload2, num_keys=2 + R, is_stable=False)
         nq = 2 + R
         order2 = sorted2[nq]
         so_val = -sorted2[1]
-        so_bp, so_bd, so_exact = sorted2[nq + 1 : nq + 4]
-        so_state = _tree_from_cols(state_spec, sorted2[nq + 4 :])
+        so_bp, so_bd, so_exact, so_bs = sorted2[nq + 1 : nq + 5]
+        so_state = _tree_from_cols(state_spec, sorted2[nq + 5 :])
         so_valid = sorted2[0] == 0
         rank_of = jax.lax.sort((order2, idxs), num_keys=1, is_stable=False)[1]
 
-        limit = jnp.where(need_relax, eff_width - 1, jnp.where(need_restrict, eff_width, C))
+        limit = jnp.where(need_relax, cap - 1, jnp.where(need_restrict, cap, C))
         kept = slot_valid & (rank_of < limit)
         merge_mask = slot_valid & ~kept & need_relax
 
@@ -361,11 +407,12 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         m_best_flat = jnp.max(jnp.where(m_is_best, idxs, -1))
         m_bp = jnp.where(m_best_flat >= 0, f_parent[jnp.clip(m_best_flat, 0, C - 1)], -1)
         m_bd = jnp.where(m_best_flat >= 0, f_dval[jnp.clip(m_best_flat, 0, C - 1)], 0)
+        m_bs = (m_best_flat >= 0) & f_skip[jnp.clip(m_best_flat, 0, C - 1)]
         m_par_exact_all = jnp.all(jnp.where(e_merge, f_pexact, True))
 
         # --- materialize next layer [W] by gathering sorted slots ----------
         width_used = jnp.where(
-            need_relax | need_restrict, jnp.where(need_relax, limit + 1, eff_width),
+            need_relax | need_restrict, jnp.where(need_relax, limit + 1, cap),
             jnp.minimum(U, W),
         )
         overflow = overflow | ((U > W) & ~(need_relax | need_restrict))
@@ -378,6 +425,7 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         nl_relaxed = jnp.zeros((W,), bool)
         nl_bp = so_bp[:W]
         nl_bd = so_bd[:W]
+        nl_bs = so_bs[:W]
 
         # overrides for the merged node
         is_mpos = need_relax & (q == merged_pos)
@@ -388,6 +436,7 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         nl_val = jnp.where(is_mpos, mv_new, nl_val)
         nl_bp = jnp.where(is_mpos & take_medge, m_bp, nl_bp)
         nl_bd = jnp.where(is_mpos & take_medge, m_bd, nl_bd)
+        nl_bs = jnp.where(is_mpos & take_medge, m_bs, nl_bs)
         nl_exact = jnp.where(
             is_mpos, jnp.where(recycled, nl_exact & m_par_exact_all, False), nl_exact
         )
@@ -415,15 +464,27 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         squashed = need_relax | need_restrict
         lel = jnp.where(squashed & (lel == LEL_NONE), i, lel)
 
+        # frontier-cutset ingredient, computed here while the child layer's
+        # exactness is at hand (clean.rs:586-606): does this node have an
+        # inexact child?  Doing it in-scan avoids stacking a [n, W, D]
+        # gather in finalization.
+        ch_inexact = e_valid & ~nl_exact[jnp.clip(e_child, 0, W - 1)]
+        has_inexact_child = jnp.any(ch_inexact.reshape(W, D), axis=1)
+        y_layer["hic"] = has_inexact_child
+
+        # edge planes stay FLAT [C]: a stacked [n, W, D] tensor would tile-
+        # pad the trailing D to 128 on TPU (observed 64x HBM blowup); the
+        # trailing dim of the stacked buffer must be the large one.
         y_edges = dict(
-            child=e_child.reshape(W, D),
-            cost=e_cost.reshape(W, D),
-            dval=f_dval.reshape(W, D),
-            valid=e_valid.reshape(W, D),
+            child=e_child,
+            cost=e_cost,
+            dval=f_dval,
+            valid=e_valid,
         )
         nxt = dict(
             state=nl_state, val=nl_val, mask=q_valid, exact=nl_exact,
-            relaxed=nl_relaxed, bp=nl_bp, bd=nl_bd, ebp=nl_ebp,
+            relaxed=nl_relaxed, bp=nl_bp, bd=nl_bd, bs=nl_bs & q_valid,
+            ebp=nl_ebp,
         )
         return (nxt, assigned, lel, expanded, overflow), (y_layer, y_edges, var)
 
@@ -442,6 +503,7 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
     S_rub = cat(ys["rub"], jnp.full((W,), INF, VALUE_DTYPE))
     S_bp = cat(ys["bp"], term["bp"])
     S_bd = cat(ys["bd"], term["bd"])
+    S_bs = cat(ys["bs"], term["bs"])
     E_child, E_cost, E_dval, E_valid = ye["child"], ye["cost"], ye["dval"], ye["valid"]
 
     # ======================= finalization ==================================
@@ -478,13 +540,9 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         cutflag = S_mask & (layer_idx == lel_eff) & do_cutset
     else:  # FRONTIER (clean.rs:586-606)
         above = S_mask & S_exact & do_cutset
-        child_ok = E_valid & (E_child >= 0)
-        cc = jnp.clip(E_child, 0, W - 1)
-        # child_inexact[l, w, d] = not exact(layer l+1, child slot)
-        child_inexact = jax.vmap(lambda ex, idx: ~ex[idx])(S_exact[1:], cc)
-        has_inexact_child = jnp.any(child_ok & child_inexact, axis=2)  # [n, W]
+        # has-inexact-child was computed inside the forward scan (y "hic")
         cutflag = jnp.concatenate(
-            [S_exact[:n] & S_mask[:n] & has_inexact_child, jnp.zeros((1, W), bool)], axis=0
+            [S_exact[:n] & S_mask[:n] & ys["hic"], jnp.zeros((1, W), bool)], axis=0
         ) & do_cutset
 
     # --- local bounds, bottom-up reverse scan (clean.rs:448-475) -----------
@@ -496,14 +554,14 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         # carry = marked-effective bottom values (NEG_INF encodes unmarked);
         # one gather instead of separate (value_bot, marked) gathers
         vb_eff_next = carry
-        ec, eco, ev = xs
+        ec, eco, ev = xs  # flat [C] edge planes
         cc = jnp.clip(ec, 0, W - 1)
         ok = ev & (ec >= 0)
         g = vb_eff_next[cc]
         cm = ok & (g > NEG_INF)
         contrib = jnp.where(cm, sat_add(g, eco), NEG_INF)
-        vb = jnp.max(contrib, axis=1)
-        mk = jnp.any(cm, axis=1)
+        vb = jnp.max(contrib.reshape(W, D), axis=1)
+        mk = jnp.any(cm.reshape(W, D), axis=1)
         return jnp.where(mk, vb, NEG_INF), (vb, mk)
 
     _, (vb_stack, mk_stack) = jax.lax.scan(
@@ -547,14 +605,14 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         # prunes identically to the reference's Some(MAX) propagation.
         th_eff_next = carry
         ec, eco, ev, val_l, rub_l, vb_l, cutf_l, exact_l, mask_l = xs
-        cc = jnp.clip(ec, 0, W - 1)
+        cc = jnp.clip(ec, 0, W - 1)  # flat [C] edge planes
         ok = ev & (ec >= 0)
         # propagate children's thresholds along in-edges (clean.rs:522-528)
         g = jnp.where(ok, th_eff_next[cc], INF)
         ch_has = g < INF
         cand = jnp.where(ch_has, sat_sub(g, eco), INF)
-        th_l = jnp.min(cand, axis=1)
-        hs_l = jnp.any(ch_has, axis=1)
+        th_l = jnp.min(cand.reshape(W, D), axis=1)
+        hs_l = jnp.any(ch_has.reshape(W, D), axis=1)
         th_l = jnp.where(hs_l, th_l, INF)
         th_l, hs_l = thresh_rules(mask_l, val_l, rub_l, vb_l, cutf_l, exact_l, th_l, hs_l)
         return jnp.where(hs_l & mask_l, th_l, INF), (th_l, hs_l)
@@ -570,13 +628,14 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
     has_theta = cat(hs_stack, hs_n) & do_thresh
 
     # canonical packed keys for every node (host-side dedup/caching rides
-    # these instead of re-packing states in Python)
-    S_keys = jax.vmap(v_pack)(S_state)  # [n+1, W, K]
+    # these instead of re-packing states in Python).  Stored key-major
+    # [n+1, K, W] so the big W dim is trailing (TPU tile padding).
+    S_keys = jnp.swapaxes(jax.vmap(v_pack)(S_state), -1, -2)
 
     return dict(
         state=S_state, value=S_val, mask=S_mask, exact=S_exact, relaxed=S_relaxed,
         keys=S_keys,
-        rub=S_rub, bp=S_bp, bd=S_bd, var_of=var_of,
+        rub=S_rub, bp=S_bp, bd=S_bd, bs=S_bs, var_of=var_of,
         value_bot=value_bot, marked=marked, theta=theta, has_theta=has_theta,
         above=above, cutflag=cutflag,
         lel=lel, is_exact_dd=is_exact_dd, has_ebp=has_ebp,
@@ -641,8 +700,9 @@ class CompiledDD:
         l, s = layer, slot
         while l > d0:
             var = int(self.o["var_of"][l - 1])
-            vals[var] = int(self.o["bd"][l, s])
-            pset[var] = True
+            if not bool(self.o["bs"][l, s]):  # long arcs record no decision
+                vals[var] = int(self.o["bd"][l, s])
+                pset[var] = True
             s = int(self.o["bp"][l, s])
             l -= 1
             if s < 0:
@@ -687,8 +747,9 @@ class CompiledDD:
                 continue
             var = int(self.o["var_of"][l - 1])
             ss = cur_s[act]
-            vals[act, var] = self.o["bd"][l, ss]
-            pset[act, var] = True
+            rec = ~self.o["bs"][l, ss]  # long arcs record no decision
+            vals[act, var] = np.where(rec, self.o["bd"][l, ss], vals[act, var])
+            pset[act, var] |= rec
             cur_s[act] = self.o["bp"][l, ss]
             cur_l[act] -= 1
         return vals, pset
@@ -698,7 +759,7 @@ class CompiledDD:
         path_set) numpy arrays for every marked cutset node."""
         n = self.n
         if not self.o["feasible"]:
-            K = self.o["keys"].shape[2]
+            K = self.o["keys"].shape[1]
             z = np.zeros(0, np.int32)
             return (np.zeros((0, K), np.int32), z, z, z,
                     np.zeros((0, n), np.int32), np.zeros((0, n), bool))
@@ -708,7 +769,7 @@ class CompiledDD:
         rub = np.minimum(values + self.o["rub"][layers, slots], INF)
         locb = np.minimum(values + self.o["value_bot"][layers, slots], INF)
         ubs = np.minimum(np.minimum(rub, locb), int(self.o["best_value"]))
-        keys = self.o["keys"][layers, slots]
+        keys = self.o["keys"][layers, :, slots]
         vals, pset = self._paths_batch(layers, slots)
         return (keys, layers.astype(np.int32), values.astype(np.int32),
                 ubs.astype(np.int32), vals, pset)
@@ -719,7 +780,7 @@ class CompiledDD:
         layers, slots = np.nonzero(sel)
         return (
             layers.astype(np.int32),
-            self.o["keys"][layers, slots],
+            self.o["keys"][layers, :, slots],
             self.o["theta"][layers, slots],
             (~self.o["cutflag"][layers, slots]).astype(np.uint8),
         )

@@ -86,6 +86,12 @@ class Misp(Problem):
         cost = jnp.where(take, data["weight"][var], 0).astype(VALUE_DTYPE)
         return {"free": nfree}, cost, d.astype(I32), valid
 
+    def is_impacted_by(self, data, state, var):
+        """Long arcs (main.rs:145-147): only states that still contain the
+        branched vertex are impacted; the rest skip the layer (the engine's
+        pooled/long-arc mode, no decision recorded on their paths)."""
+        return bs.contains(state["free"], var)
+
     def pack(self, state):
         # uint32 lanes bit-cast to int32 key columns
         return jax.lax.bitcast_convert_type(state["free"], I32).reshape(-1)

@@ -16,6 +16,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <queue>
 #include <unordered_map>
 #include <vector>
@@ -41,23 +42,26 @@ struct Node {
     int64_t score;
     std::vector<int32_t> path_vals;
     std::vector<uint8_t> path_set;
-    uint64_t stamp;  // freshness for lazy deletion
+    uint64_t stamp;  // freshness for lazy deletion; 0 = dead slot
 };
 
+// Heap entries never hold pointers into containers: nodes live in a stable
+// arena (std::deque never relocates elements) and are addressed by index.
+// An entry is valid only while its stamp matches the arena node's stamp —
+// popped/merged nodes bump the stamp, lazily invalidating stale entries.
 struct HeapEntry {
     int32_t ub;
     int32_t value;
     int64_t score;
-    uint64_t seq;     // FIFO tiebreak
-    uint64_t stamp;   // must match the live node's stamp
-    const Node* node; // owned by the live map
+    uint64_t stamp;  // doubles as FIFO tiebreak (globally unique)
+    uint32_t idx;    // arena slot
 
     bool operator<(const HeapEntry& o) const {
         // max-heap by (ub, value, score); FIFO on full ties
         if (ub != o.ub) return ub < o.ub;
         if (value != o.value) return value < o.value;
         if (score != o.score) return score < o.score;
-        return seq > o.seq;
+        return stamp > o.stamp;
     }
 };
 
@@ -85,7 +89,9 @@ struct Solver {
     int key_cols;
     uint64_t seq = 0;
     // fringe
-    std::unordered_map<DepthKey, Node, DepthKeyHash> live;
+    std::deque<Node> arena;               // stable storage, slots recycled
+    std::vector<uint32_t> free_slots;
+    std::unordered_map<DepthKey, uint32_t, DepthKeyHash> live;  // -> arena idx
     std::priority_queue<HeapEntry> heap;
     // cache: one map per depth
     std::vector<std::unordered_map<std::vector<int32_t>, Threshold, KeyHash>> cache;
@@ -119,7 +125,7 @@ void fringe_push_batch(void* h, int count, const int32_t* keys,
         uint64_t stamp = ++s->seq;
         if (it != s->live.end()) {
             // duplicate merge rule (no_duplicate.rs:96-117)
-            Node& cur = it->second;
+            Node& cur = s->arena[it->second];
             int32_t new_ub = std::max(cur.ub, ubs[i]);
             if (values[i] > cur.value) {
                 cur.value = values[i];
@@ -129,9 +135,17 @@ void fringe_push_batch(void* h, int count, const int32_t* keys,
             }
             cur.ub = new_ub;
             cur.stamp = stamp;
-            s->heap.push({cur.ub, cur.value, cur.score, stamp, stamp, &cur});
+            s->heap.push({cur.ub, cur.value, cur.score, stamp, it->second});
         } else {
-            Node node;
+            uint32_t idx;
+            if (!s->free_slots.empty()) {
+                idx = s->free_slots.back();
+                s->free_slots.pop_back();
+            } else {
+                idx = static_cast<uint32_t>(s->arena.size());
+                s->arena.emplace_back();
+            }
+            Node& node = s->arena[idx];
             node.key = dk.key;
             node.depth = depths[i];
             node.value = values[i];
@@ -140,10 +154,8 @@ void fringe_push_batch(void* h, int count, const int32_t* keys,
             node.path_vals.assign(path_vals + i * n, path_vals + (i + 1) * n);
             node.path_set.assign(path_set + i * n, path_set + (i + 1) * n);
             node.stamp = stamp;
-            auto res = s->live.emplace(std::move(dk), std::move(node));
-            Node& stored = res.first->second;
-            s->heap.push({stored.ub, stored.value, stored.score, stamp, stamp,
-                          &stored});
+            s->live.emplace(std::move(dk), idx);
+            s->heap.push({node.ub, node.value, node.score, stamp, idx});
         }
     }
 }
@@ -163,22 +175,20 @@ int fringe_pop_batch(void* h, int max_count, int32_t best_lb, int32_t* keys,
     while (out < max_count && !s->heap.empty()) {
         HeapEntry e = s->heap.top();
         s->heap.pop();
-        const Node* node = e.node;
-        if (node->stamp != e.stamp) continue;  // stale entry
-        // live pop
-        DepthKey dk{node->depth, node->key};
-        auto it = s->live.find(dk);
-        if (it == s->live.end() || it->second.stamp != e.stamp) continue;
-        Node popped_node = std::move(it->second);
-        s->live.erase(it);
+        Node& node = s->arena[e.idx];
+        if (node.stamp != e.stamp) continue;  // stale entry
+        // live pop: invalidate the slot and recycle it
+        s->live.erase(DepthKey{node.depth, node.key});
+        node.stamp = 0;
+        s->free_slots.push_back(e.idx);
         ++popped;
-        if (popped_node.ub <= best_lb) continue;  // prune
-        std::memcpy(keys + out * K, popped_node.key.data(), K * 4);
-        depths[out] = popped_node.depth;
-        values[out] = popped_node.value;
-        ubs[out] = popped_node.ub;
-        std::memcpy(path_vals + out * n, popped_node.path_vals.data(), n * 4);
-        std::memcpy(path_set + out * n, popped_node.path_set.data(), n);
+        if (node.ub <= best_lb) continue;  // prune
+        std::memcpy(keys + out * K, node.key.data(), K * 4);
+        depths[out] = node.depth;
+        values[out] = node.value;
+        ubs[out] = node.ub;
+        std::memcpy(path_vals + out * n, node.path_vals.data(), n * 4);
+        std::memcpy(path_set + out * n, node.path_set.data(), n);
         ++out;
     }
     if (popped_total) *popped_total = popped;
@@ -192,7 +202,9 @@ int fringe_len(void* h) {
 void fringe_clear(void* h) {
     auto* s = static_cast<Solver*>(h);
     s->live.clear();
-    while (!s->heap.empty()) s->heap.pop();
+    s->heap = {};
+    s->arena.clear();
+    s->free_slots.clear();
 }
 
 // ----------------------------------------------------------------- cache

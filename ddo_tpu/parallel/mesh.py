@@ -106,3 +106,27 @@ class MeshCompiler:
             lane = jax.tree_util.tree_map(lambda a: a[k], outs)
             views.append(CompiledDD(spec, lane, sub))
         return views, int(global_best), int(total_expanded)
+
+    def compile_batch(self, comp_type, subs, best_lb, eff_widths):
+        """DDCompiler.compile_batch-compatible entry (drop-in for solvers)."""
+        views, _, _ = self.superstep(comp_type, subs, best_lb, eff_widths)
+        return views
+
+
+def MeshSolver(bundle, mesh: Mesh = None, batch: int = None, **kw):
+    """Multi-device branch-and-bound: the frontier superstep's K lanes are
+    sharded across `mesh` (default: all devices).  This is the TPU-native
+    replacement for the reference's thread pool (parallel.rs:287-653):
+    instead of worker threads racing on a mutex-guarded fringe, each
+    superstep pops K subproblems, compiles K DDs across the mesh in one
+    collective-free pass, and reduces incumbents across lanes.
+    """
+    from ddo_tpu.search.solver import SequentialSolver
+
+    mesh = mesh if mesh is not None else make_mesh()
+    batch = batch or int(mesh.devices.size)
+    solver = SequentialSolver(bundle, batch=batch, **kw)
+    solver.compiler = MeshCompiler(
+        bundle, solver.compiler.width, solver.compiler.cutset_type, mesh
+    )
+    return solver

@@ -1,0 +1,455 @@
+"""Engine-semantics parity tests, ported from the reference's inline unit
+tests on the vector MDD (/root/reference/ddo/src/implementation/mdd/clean.rs
+:1097-2667).  Fixtures:
+
+  * DummyProblem / DummyRelax / DummyRanking  (clean.rs:2559-2667):
+    3 vars, domain {0,1,2}, state {value, depth}, cost = decision value,
+    merge -> value 100, relax cost -> 20, rub = (3 - depth) * 10, ranking
+    prefers smaller state value.
+  * DummyInfeasibleProblem (clean.rs:2601): same but every domain empty.
+  * LocBoundsAndThresholdsExamplePb (clean.rs:2066-2200): the hand-drawn
+    4-layer diagram exercising local bounds, LEL/frontier cutsets and
+    threshold propagation, with explicit expected tables.
+
+One documented divergence: on ties for a merged node's best in-edge the
+reference keeps the edge appended last in ITS append order (clean.rs:215-218)
+which may pick a different (equal-value) decision than our flat candidate
+order; tests assert the tie set, not the reference's arbitrary pick.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddo_tpu import ModelBundle
+from ddo_tpu.core.problem import Problem, Relaxation, StateRanking
+from ddo_tpu.core.types import (
+    CompilationType,
+    CutsetType,
+    SubProblem,
+    Threshold,
+    root_subproblem,
+    state_key_bytes,
+)
+from ddo_tpu.engine.mdd import DDCompiler
+from ddo_tpu.search.cache import SimpleCache
+from ddo_tpu.utils.num import NEG_INF, VALUE_DTYPE
+
+I32 = jnp.int32
+
+
+# ---------------------------------------------------------------- fixtures
+class DummyProblem(Problem):
+    """clean.rs:2564-2598: 3 vars x domain {0,1,2}, cost = decision value."""
+
+    name = "dummy"
+    nb_variables = 3
+    domain_size = 3
+
+    def initial_state(self, data):
+        return dict(value=jnp.asarray(0, I32), depth=jnp.asarray(0, I32))
+
+    def step(self, data, state, var, d, depth):
+        nxt = dict(value=state["value"] + d, depth=state["depth"] + 1)
+        return nxt, jnp.asarray(d, VALUE_DTYPE), d, jnp.asarray(True)
+
+
+class DummyInfeasibleProblem(DummyProblem):
+    """clean.rs:2601-2636: identical but all domains empty."""
+
+    def step(self, data, state, var, d, depth):
+        nxt, cost, dv, _ = super().step(data, state, var, d, depth)
+        return nxt, cost, dv, jnp.asarray(False)
+
+
+class DummyRelax(Relaxation):
+    """clean.rs:2639-2657: merge -> value 100, relax -> 20, rub 10/level."""
+
+    def merge(self, data, states, mask):
+        depth = jnp.max(jnp.where(mask, states["depth"], 0))
+        return dict(value=jnp.asarray(100, I32), depth=depth)
+
+    def relax_cost(self, data, src, dst, merged, dval, cost, var):
+        return jnp.asarray(20, VALUE_DTYPE)
+
+    def rub(self, data, state, depth):
+        return ((3 - state["depth"]) * 10).astype(VALUE_DTYPE)
+
+
+class DummyRanking(StateRanking):
+    """clean.rs:2660-2667: smaller state value ranks higher."""
+
+    def score(self, data, state):
+        return -state["value"]
+
+
+def dummy_bundle():
+    pb = DummyProblem()
+    return pb, ModelBundle(pb, DummyRelax(), DummyRanking())
+
+
+def dummy_root(pb, depth=0, value=0):
+    root = root_subproblem(pb)
+    if depth:
+        root.state = dict(
+            value=np.asarray(value, np.int32), depth=np.asarray(depth, np.int32)
+        )
+        root.value = value
+        root.depth = depth
+        root.path_vals = np.array([42, 0, 0], np.int32)
+        root.path_set = np.array([True, False, False])
+    return root
+
+
+def compile_dd(bundle, comp, width, best_lb=NEG_INF, cutset=CutsetType.LAST_EXACT_LAYER,
+               root=None):
+    compiler = DDCompiler(bundle, 16, cutset)
+    root = root or root_subproblem(bundle.problem)
+    return compiler.compile(comp, root, best_lb, width)
+
+
+# ------------------------------------------------- compile-semantics tests
+def test_root_remembers_the_path_from_the_fringe_node():
+    """clean.rs:1118-1151."""
+    pb, bundle = dummy_bundle()
+    root = dummy_root(pb, depth=1, value=42)
+    for comp in CompilationType:
+        dd = compile_dd(bundle, comp, 3, root=root)
+        vals, pset = dd.best_solution()
+        assert vals[0] == 42 and pset[0]
+
+
+def test_exact_completely_unrolls_the_mdd_no_matter_its_width():
+    """clean.rs:1154-1188: exact ignores width; best 6 via all-2 decisions."""
+    pb, bundle = dummy_bundle()
+    dd = compile_dd(bundle, CompilationType.EXACT, 1)
+    assert dd.best_value() == 6
+    vals, pset = dd.best_solution()
+    assert list(vals) == [2, 2, 2] and pset.all()
+
+
+def test_restricted_drops_the_less_interesting_nodes():
+    """clean.rs:1190-1222: width-1 restriction still finds 6."""
+    pb, bundle = dummy_bundle()
+    dd = compile_dd(bundle, CompilationType.RESTRICTED, 1)
+    assert dd.best_value() == 6
+    vals, _ = dd.best_solution()
+    assert list(vals) == [2, 2, 2]
+
+
+def test_relaxed_merges_the_less_interesting_nodes():
+    """clean.rs:1405-1440: width-1 relaxation upper-bounds at 24 and the
+    best path crosses the merged node (middle decision is a relaxed edge)."""
+    pb, bundle = dummy_bundle()
+    dd = compile_dd(bundle, CompilationType.RELAXED, 1)
+    assert dd.best_value() == 24
+    vals, pset = dd.best_solution()
+    assert vals[0] == 2 and vals[2] == 2 and pset.all()
+    assert vals[1] in (0, 1, 2)  # reference picks 0 by its edge-append order
+
+
+def test_relaxed_populates_cutset_and_will_not_squash_first_layer():
+    """clean.rs:1443-1472: LEL cutset is the 3-wide first layer."""
+    pb, bundle = dummy_bundle()
+    dd = compile_dd(bundle, CompilationType.RELAXED, 1)
+    cutset = list(dd.drain_cutset())
+    assert len(cutset) == 3
+    assert all(c.depth == 1 for c in cutset)
+
+
+def test_exactness_flags():
+    """clean.rs:1475-1613: exact/relaxed/restricted is_exact semantics."""
+    pb, bundle = dummy_bundle()
+    assert compile_dd(bundle, CompilationType.EXACT, 1).is_exact()
+    assert compile_dd(bundle, CompilationType.RELAXED, 10).is_exact()
+    assert not compile_dd(bundle, CompilationType.RELAXED, 1).is_exact()
+    assert compile_dd(bundle, CompilationType.RESTRICTED, 10).is_exact()
+    assert not compile_dd(bundle, CompilationType.RESTRICTED, 1).is_exact()
+
+
+def test_infeasible_problem_has_no_solution_nor_value():
+    """clean.rs:1616-1676."""
+    pb = DummyInfeasibleProblem()
+    bundle = ModelBundle(pb, DummyRelax(), DummyRanking())
+    dd = compile_dd(bundle, CompilationType.EXACT, 10)
+    assert dd.best_value() is None
+    assert dd.best_solution() is None
+
+
+@pytest.mark.parametrize(
+    "comp",
+    [CompilationType.EXACT, CompilationType.RELAXED, CompilationType.RESTRICTED],
+)
+def test_skips_nodes_with_ub_below_best_lb(comp):
+    """clean.rs:1678-1748: rub pruning wipes the whole DD when lb=1000."""
+    pb, bundle = dummy_bundle()
+    dd = compile_dd(bundle, comp, 10, best_lb=1000)
+    assert dd.best_value() is None
+    assert dd.best_solution() is None
+
+
+# ------------------------------------------------------- threshold tables
+def apply_cache(dd, cache):
+    for depth, key, theta, explored in dd.cache_updates():
+        cache.update_threshold(key, depth, theta, explored)
+
+
+def dummy_key(value, depth):
+    return state_key_bytes(
+        dict(value=np.asarray(value, np.int32), depth=np.asarray(depth, np.int32))
+    )
+
+
+@pytest.mark.parametrize(
+    "comp", [CompilationType.RESTRICTED, CompilationType.RELAXED]
+)
+def test_mdd_computes_thresholds_when_exact(comp):
+    """clean.rs:1845-1955: full unrolled DD => threshold 2*depth, explored."""
+    pb, bundle = dummy_bundle()
+    cache = SimpleCache()
+    cache.initialize(pb)
+    dd = compile_dd(bundle, comp, 10)
+    assert dd.is_exact()
+    apply_cache(dd, cache)
+
+    expected = [(0, [0]), (1, [0, 1, 2]), (2, [0, 1, 2, 3, 4]),
+                (3, [0, 1, 2, 3, 4, 5, 6])]
+    for depth, values in expected:
+        for v in values:
+            th = cache.get_threshold(dummy_key(v, depth), depth)
+            assert th == Threshold(2 * depth, True), (depth, v, th)
+
+
+@pytest.mark.parametrize(
+    "comp", [CompilationType.RESTRICTED, CompilationType.RELAXED]
+)
+def test_mdd_computes_thresholds_when_all_pruned(comp):
+    """clean.rs:1957-2064: lb=15 prunes depth-2 nodes; thresholds 1/3/5, none
+    at depth 3."""
+    pb, bundle = dummy_bundle()
+    cache = SimpleCache()
+    cache.initialize(pb)
+    dd = compile_dd(bundle, comp, 10, best_lb=15)
+    assert dd.is_exact()
+    apply_cache(dd, cache)
+
+    for depth, values, want in [
+        (0, [0], Threshold(1, True)),
+        (1, [0, 1, 2], Threshold(3, True)),
+        (2, [0, 1, 2, 3, 4], Threshold(5, True)),
+    ]:
+        for v in values:
+            assert cache.get_threshold(dummy_key(v, depth), depth) == want
+    for v in range(7):
+        assert cache.get_threshold(dummy_key(v, 3), 3) is None
+
+
+# ----------------------- LocBoundsAndThresholdsExamplePb (clean.rs:2066+)
+# states coded r=0 a=1 b=2 c=3 d=4 M=5 e=6 f=7 g=8 h=9 i=10 t=11
+R, A, B, C_, D_, M, E, F, G, H, I_, T = range(12)
+_NAMES = "r a b c d M e f g h i t".split()
+
+_NEXT = np.full((12, 3), T, np.int32)
+_COST = np.zeros((12, 3), np.int32)
+_VALID = np.zeros((12, 3), bool)
+
+
+def _arc(s, slot, dst, cost):
+    _NEXT[s, slot] = dst
+    _COST[s, slot] = cost
+    _VALID[s, slot] = True
+
+
+_arc(R, 0, A, 10); _arc(R, 1, B, 7)
+_arc(A, 0, C_, 2)
+_arc(B, 0, D_, 3); _arc(B, 1, E, 6); _arc(B, 2, F, 5)
+_arc(M, 0, G, 4)
+_arc(E, 0, H, 0)
+_arc(F, 0, H, 1); _arc(F, 1, I_, 2)
+_arc(G, 0, T, 0); _arc(H, 0, T, 0); _arc(I_, 0, T, 0)
+
+_RUB = np.zeros(12, np.int32)
+for s, r in [(R, 30), (A, 20), (B, 20), (M, 10), (E, 10), (F, 10)]:
+    _RUB[s] = r
+
+
+class LocBoundsExamplePb(Problem):
+    """clean.rs:2066-2156: the hand-drawn local-bounds/threshold diagram."""
+
+    name = "locbex"
+    nb_variables = 4
+    domain_size = 3
+
+    @property
+    def data(self):
+        return (jnp.asarray(_NEXT), jnp.asarray(_COST), jnp.asarray(_VALID))
+
+    def initial_state(self, data):
+        return jnp.asarray(R, I32)
+
+    def step(self, data, state, var, d, depth):
+        nxt_t, cost_t, valid_t = data
+        return (
+            nxt_t[state, d],
+            cost_t[state, d].astype(VALUE_DTYPE),
+            cost_t[state, d],  # decision value = edge cost in the fixture
+            valid_t[state, d],
+        )
+
+
+class LocBoundsExampleRelax(Relaxation):
+    """clean.rs:2159-2181: merge -> 'M', relax keeps cost, per-state rub."""
+
+    @property
+    def data(self):
+        return jnp.asarray(_RUB)
+
+    def merge(self, data, states, mask):
+        return jnp.asarray(M, I32)
+
+    def rub(self, data, state, depth):
+        return data[state].astype(VALUE_DTYPE)
+
+
+class CmpState(StateRanking):
+    """clean.rs:2184-2190: natural order on the state code."""
+
+    def score(self, data, state):
+        return state.astype(I32)
+
+
+def locb_bundle():
+    pb = LocBoundsExamplePb()
+    return pb, ModelBundle(pb, LocBoundsExampleRelax(), CmpState())
+
+
+def _cutset_by_state(dd):
+    return {int(np.asarray(c.state)): c.ub for c in dd.drain_cutset()}
+
+
+def _locb_key(code):
+    return state_key_bytes(np.asarray(code, np.int32))
+
+
+def test_relaxed_computes_local_bounds_and_thresholds_lel():
+    """clean.rs:2213-2270 (DefaultMDDLEL, width 3, best_lb 0)."""
+    pb, bundle = locb_bundle()
+    cache = SimpleCache()
+    cache.initialize(pb)
+    compiler = DDCompiler(bundle, 8, CutsetType.LAST_EXACT_LAYER)
+    dd = compiler.compile(CompilationType.RELAXED, root_subproblem(pb), 0, 3)
+    assert not dd.is_exact()
+    assert dd.best_value() == 16
+    assert _cutset_by_state(dd) == {A: 16, B: 14}
+    apply_cache(dd, cache)
+
+    assert cache.get_threshold(_locb_key(R), 0) == Threshold(0, True)
+    assert cache.get_threshold(_locb_key(A), 1) == Threshold(10, False)
+    assert cache.get_threshold(_locb_key(B), 1) == Threshold(7, False)
+    for code, depth in [(M, 2), (E, 2), (F, 2), (G, 3), (H, 3), (I_, 3), (T, 4)]:
+        assert cache.get_threshold(_locb_key(code), depth) is None
+
+
+def test_relaxed_computes_local_bounds_and_thresholds_frontier():
+    """clean.rs:2272-2322 (DefaultMDDFC, width 3, best_lb 0)."""
+    pb, bundle = locb_bundle()
+    cache = SimpleCache()
+    cache.initialize(pb)
+    compiler = DDCompiler(bundle, 8, CutsetType.FRONTIER)
+    dd = compiler.compile(CompilationType.RELAXED, root_subproblem(pb), 0, 3)
+    assert not dd.is_exact()
+    assert dd.best_value() == 16
+    assert _cutset_by_state(dd) == {A: 16, B: 14, H: 13, I_: 14}
+    apply_cache(dd, cache)
+
+    expected = {
+        (R, 0): Threshold(0, True),
+        (A, 1): Threshold(10, False),
+        (B, 1): Threshold(7, False),
+        (E, 2): Threshold(13, True),
+        (F, 2): Threshold(12, True),
+        (H, 3): Threshold(13, False),
+        (I_, 3): Threshold(14, False),
+    }
+    for (code, depth), want in expected.items():
+        assert cache.get_threshold(_locb_key(code), depth) == want, _NAMES[code]
+    for code, depth in [(M, 2), (G, 3), (T, 4)]:
+        assert cache.get_threshold(_locb_key(code), depth) is None
+
+
+# ------------------------------------------------------- long arcs (C11)
+def test_long_arcs_skip_decisions_on_path():
+    """Pooled/long-arc mode (pooled.rs:608-680): unimpacted nodes cross a
+    layer through a zero-cost identity arc and record NO decision.  Star
+    graph MISP: taking the center empties the state, so the remaining
+    layers are all skip arcs and the solution assigns only the center."""
+    from ddo_tpu.core.problem import ModelBundle
+    from ddo_tpu.models.misp import Misp, MispRanking, MispRelax
+
+    pb = Misp(4, [(0, 1), (0, 2), (0, 3)], weight=[10, 1, 1, 1])
+    bundle = ModelBundle(pb, MispRelax(pb), MispRanking(pb))
+    compiler = DDCompiler(bundle, 16, CutsetType.LAST_EXACT_LAYER)
+    dd = compiler.compile(CompilationType.EXACT, root_subproblem(pb), NEG_INF, 16)
+    assert dd.best_value() == 10
+    vals, pset = dd.best_solution()
+    taken = [v for v in range(4) if pset[v] and vals[v] == 1]
+    assert taken == [0]
+    # the three leaves were skipped on the best path: no decision recorded
+    assert pset.sum() == 1, (vals, pset)
+
+
+def test_long_arcs_match_plain_engine_on_misp():
+    """Optima are identical with and without the long-arc mode."""
+    from ddo_tpu.core.problem import ModelBundle
+    from ddo_tpu.models.misp import Misp, MispRanking, MispRelax
+    from ddo_tpu.search.solver import SequentialSolver
+
+    class MispNoLA(Misp):
+        is_impacted_by = Problem.is_impacted_by  # plain layered engine
+
+    rng = np.random.default_rng(3)
+    for trial in range(3):
+        n = 8
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.4
+        ]
+        w = rng.integers(1, 10, n).tolist()
+        results = []
+        for cls in (Misp, MispNoLA):
+            pb = cls(n, edges, weight=w)
+            bundle = ModelBundle(pb, MispRelax(pb), MispRanking(pb))
+            solver = SequentialSolver(bundle, buffer_width=8)
+            completion = solver.maximize()
+            assert completion.is_exact
+            results.append(completion.best_value)
+        assert results[0] == results[1], (trial, results)
+
+
+def test_relaxed_computes_local_bounds_and_thresholds_with_pruning():
+    """clean.rs:2324-2400 (DefaultMDDFC, width 3, best_lb 15)."""
+    pb, bundle = locb_bundle()
+    cache = SimpleCache()
+    cache.initialize(pb)
+    compiler = DDCompiler(bundle, 8, CutsetType.FRONTIER)
+    dd = compiler.compile(CompilationType.RELAXED, root_subproblem(pb), 15, 3)
+    assert not dd.is_exact()
+    assert dd.best_value() == 16
+    assert _cutset_by_state(dd) == {A: 16, B: 14}
+    apply_cache(dd, cache)
+
+    expected = {
+        (R, 0): Threshold(0, True),
+        (A, 1): Threshold(10, False),
+        (B, 1): Threshold(8, False),
+        (E, 2): Threshold(15, True),
+        (F, 2): Threshold(13, True),
+        (H, 3): Threshold(15, True),
+        (I_, 3): Threshold(15, True),
+    }
+    for (code, depth), want in expected.items():
+        assert cache.get_threshold(_locb_key(code), depth) == want, _NAMES[code]
+    for code, depth in [(M, 2), (G, 3), (T, 4)]:
+        assert cache.get_threshold(_locb_key(code), depth) is None
