@@ -275,7 +275,7 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         f_dval = dval.reshape(C).astype(I32)
         f_state = jax.tree_util.tree_map(lambda a: a.reshape((C,) + a.shape[2:]), nstate)
         f_parent = idxs // D
-        f_pexact = c_exact[f_parent]
+        f_pexact = jnp.repeat(c_exact, D)  # == c_exact[f_parent], statically
         f_skip = skip2d.reshape(C)
 
         # --- dedup: one payload-riding sort, best edge first in every run --
@@ -315,7 +315,7 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         X = jnp.concatenate([jnp.zeros((1,), I32), jnp.cumsum(inexact_int)])
         nx = jax.lax.cummin(jnp.where(head, idxs, C), reverse=True)
         run_end = jnp.concatenate([nx[1:], jnp.full((1,), C, I32)])  # excl.
-        slot_exact = (X[run_end] - X[idxs]) == 0
+        slot_exact = (seg_ops.onehot_take_i32(X, run_end) - X[idxs]) == 0
         slot_keys = kv
         slot_valid = head
         # orig candidate -> its run head slot, via one inverse-permutation
@@ -381,14 +381,16 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
             + jnp.where(kept2, 1 << 27, 0)
             + jnp.where(merge_final, 1 << 28, 0)
         )
-        e_code = slot_code[cand_slot]
+        e_code = seg_ops.onehot_take_i32(slot_code, cand_slot)
         e_kept = f_valid & (e_code & (1 << 27) > 0)
         e_merge = f_valid & (e_code & (1 << 28) > 0) & need_relax
         e_rank = e_code & ((1 << 27) - 1)
         if comp == CompilationType.RELAXED:
             # src is the parent's state, dst the original child state
             # (Relaxation::relax, abstraction/dp.rs:93-100)
-            src_state = _tree_get(c_state, f_parent)
+            src_state = jax.tree_util.tree_map(
+                lambda x: jnp.repeat(x, D, axis=0), c_state
+            )  # == c_state[f_parent], statically
             rcost = jax.vmap(
                 lambda src, dst, dv, c: rlx.relax_cost(rdata, src, dst, merged_state, dv, c, var)
             )(src_state, f_state, f_dval, f_cost)
@@ -401,7 +403,7 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         e_valid = f_valid & (e_child >= 0)
 
         # merged node aggregates (append_edge_to! semantics, clean.rs:199-219)
-        m_edge_val = jnp.where(e_merge, sat_add(c_val[f_parent], e_cost), NEG_INF)
+        m_edge_val = jnp.where(e_merge, sat_add(jnp.repeat(c_val, D), e_cost), NEG_INF)
         m_val = jnp.max(m_edge_val)
         m_is_best = e_merge & (m_edge_val == m_val)
         m_best_flat = jnp.max(jnp.where(m_is_best, idxs, -1))
@@ -456,7 +458,7 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         # exact-best-path flag, computed incrementally instead of a scalar
         # backward walk (clean.rs:643-655): true iff the best in-edge chain
         # hits an exact node before any relaxed one
-        par_ebp = c_ebp[jnp.clip(nl_bp, 0, W - 1)] & (nl_bp >= 0)
+        par_ebp = seg_ops.onehot_take_bool(c_ebp, jnp.clip(nl_bp, 0, W - 1)) & (nl_bp >= 0)
         nl_ebp = (nl_exact | (~nl_relaxed & par_ebp)) & q_valid
 
         # LEL bookkeeping (clean.rs:796-800): first squashed layer is j,
@@ -492,6 +494,12 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
     (term, assigned, lel, expanded, overflow), (ys, ye, var_of) = jax.lax.scan(
         forward_step, init, jnp.arange(n, dtype=I32)
     )
+
+    # Perf-bisection hook: DD_STAGE={fwd,locb,thresh} truncates the kernel
+    # after that pass (trace-time only; used by perf tooling, not solvers).
+    import os as _os
+    if _os.environ.get("DD_STAGE") == "fwd":
+        return dict(expanded=expanded, best_value=term["val"].max())
 
     # stack per-layer rows into [n+1, W] (terminal layer = final carry)
     cat = lambda a, b: jnp.concatenate([a, b[None]], axis=0)
@@ -557,7 +565,7 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         ec, eco, ev = xs  # flat [C] edge planes
         cc = jnp.clip(ec, 0, W - 1)
         ok = ev & (ec >= 0)
-        g = vb_eff_next[cc]
+        g = seg_ops.onehot_take_i32(vb_eff_next, cc)
         cm = ok & (g > NEG_INF)
         contrib = jnp.where(cm, sat_add(g, eco), NEG_INF)
         vb = jnp.max(contrib.reshape(W, D), axis=1)
@@ -570,6 +578,9 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
     )
     value_bot = cat(vb_stack, vb_n)
     marked = cat(mk_stack, mk_n)
+
+    if _os.environ.get("DD_STAGE") == "locb":
+        return dict(expanded=expanded, best_value=value_bot.max())
 
     # --- thresholds, bottom-up reverse scan (clean.rs:478-532) -------------
     do_thresh = do_cutset
@@ -608,7 +619,7 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         cc = jnp.clip(ec, 0, W - 1)  # flat [C] edge planes
         ok = ev & (ec >= 0)
         # propagate children's thresholds along in-edges (clean.rs:522-528)
-        g = jnp.where(ok, th_eff_next[cc], INF)
+        g = jnp.where(ok, seg_ops.onehot_take_i32(th_eff_next, cc), INF)
         ch_has = g < INF
         cand = jnp.where(ch_has, sat_sub(g, eco), INF)
         th_l = jnp.min(cand.reshape(W, D), axis=1)
@@ -626,6 +637,9 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
     )
     theta = jnp.where(do_thresh, cat(th_stack, th_n), INF)
     has_theta = cat(hs_stack, hs_n) & do_thresh
+
+    if _os.environ.get("DD_STAGE") == "thresh":
+        return dict(expanded=expanded, best_value=theta.min())
 
     # canonical packed keys for every node (host-side dedup/caching rides
     # these instead of re-packing states in Python).  Stored key-major

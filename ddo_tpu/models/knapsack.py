@@ -14,6 +14,7 @@ Reference model: /root/reference/ddo/examples/knapsack/main.rs
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,15 +37,25 @@ class Knapsack(Problem):
         # branch in decreasing profit/weight ratio (main.rs:66-67)
         ratio = -self.profit / np.maximum(self.weight, 1)
         self.order = np.argsort(ratio, kind="stable").astype(np.int32)
-        # prefix sums along the order for the O(log n) greedy bound
+        # prefix sums along the order for the greedy bound; the bound's
+        # table lookups run as one-hot MXU matmuls (see KPRelax.rub), so
+        # every table is pre-split into f32-exact halves (hi*4096 + lo)
         pw = np.concatenate([[0], np.cumsum(self.weight[self.order])])
         pp = np.concatenate([[0], np.cumsum(self.profit[self.order])])
+        ord_p = np.concatenate([self.profit[self.order], [0]])  # pad: no frac item
+        ord_w = np.concatenate([self.weight[self.order], [1]])
         self._data = dict(
             profit=jnp.asarray(self.profit, I32),
             weight=jnp.asarray(self.weight, I32),
             order=jnp.asarray(self.order, I32),
             prefix_w=jnp.asarray(pw, I32),
             prefix_p=jnp.asarray(pp, I32),
+            pw_hi=jnp.asarray(pw >> 12, jnp.float32),
+            pw_lo=jnp.asarray(pw & 0xFFF, jnp.float32),
+            pp_hi=jnp.asarray(pp >> 12, jnp.float32),
+            pp_lo=jnp.asarray(pp & 0xFFF, jnp.float32),
+            ord_p_f=jnp.asarray(ord_p, jnp.float32),
+            ord_w_f=jnp.asarray(ord_w, jnp.float32),
         )
 
     @property
@@ -89,25 +100,36 @@ class KPRelax(Relaxation):
         # (main.rs:158-180), via prefix sums: items taken whole are the
         # longest order-consecutive run fitting in the capacity, then one
         # fractional item (integer floor).
-        pw, pp = data["prefix_w"], data["prefix_p"]
+        #
+        # TPU note: per-node table scans/gathers over the [n+1] prefix
+        # arrays are the kernel's hot spot and are pathological as VPU
+        # lane-dim reductions (~75us/layer measured on v5e) or dynamic
+        # gathers.  Both the searchsorted count and every table lookup are
+        # expressed as one-hot f32 matmuls instead — under the engine's
+        # layer vmap they become [W, n+1] @ [n+1] MXU contractions (~3us).
+        # i32 exactness: tables are pre-split into 12-bit f32-exact halves.
+        pw = data["prefix_w"]
         cap = state["capacity"]
         base_w = pw[depth]
-        # last index m with pw[m] <= base_w + cap, via a broadcasted compare
-        # (jnp.searchsorted lowers to a serial while loop on TPU; the dense
-        # compare+sum is one VPU fusion and vectorizes across the layer)
-        m = jnp.sum((pw <= base_w + cap).astype(jnp.int32)) - 1
-        m = jnp.clip(m, depth, pw.shape[0] - 1)
-        whole = pp[m] - pp[depth]
-        rem = cap - (pw[m] - base_w)
-        n = pw.shape[0] - 1
-        has_frac = m < n
-        idx = jnp.clip(m, 0, n - 1)
-        item = data["order"][idx]
-        frac = jnp.where(
-            has_frac,
-            (rem * data["profit"][item]) // jnp.maximum(data["weight"][item], 1),
-            0,
-        )
+        target = base_w + cap
+        L = pw.shape[0]
+        # m = (# prefix entries <= target) - 1, never < depth since cap >= 0
+        pred = (pw <= target).astype(jnp.float32)
+        m = jnp.dot(pred, jnp.ones((L,), jnp.float32)).astype(jnp.int32) - 1
+        oh = (jax.lax.iota(jnp.int32, L) == m).astype(jnp.float32)
+
+        def take_split(hi_t, lo_t):
+            return (jnp.dot(oh, hi_t).astype(jnp.int32) * 4096
+                    + jnp.dot(oh, lo_t).astype(jnp.int32))
+
+        pw_m = take_split(data["pw_hi"], data["pw_lo"])
+        pp_m = take_split(data["pp_hi"], data["pp_lo"])
+        whole = pp_m - data["prefix_p"][depth]
+        rem = cap - (pw_m - base_w)
+        # fractional item = order[m]; the padded row (m = n) contributes 0
+        p_m = jnp.dot(oh, data["ord_p_f"]).astype(jnp.int32)
+        w_m = jnp.dot(oh, data["ord_w_f"]).astype(jnp.int32)
+        frac = rem * p_m // jnp.maximum(w_m, 1)
         return (whole + frac).astype(VALUE_DTYPE)
 
 

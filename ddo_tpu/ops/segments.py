@@ -88,3 +88,26 @@ def seg_argmax_pair_at_head(head, values, payload):
 def invert_permutation(perm):
     """inv[perm[i]] = i without scatter (argsort of the permutation)."""
     return jnp.argsort(perm)
+
+
+def onehot_take_i32(table, idx):
+    """Exact `table[idx]` for int32 tables as one-hot f32 MXU contractions.
+
+    TPU lowers dynamic gathers with data-dependent indices to a serialized
+    loop (~35us for a [512]<-[256] gather per scan step measured on v5e);
+    the same lookup as a `[M, T] @ [T]` one-hot matmul runs on the MXU in
+    a fraction of that.  Exact for the full int32 range via a 12-bit
+    split (|v >> 12| < 2^20 and v & 0xfff < 2^12 are both f32-exact).
+    `idx` must already be clipped to [0, T)."""
+    T = table.shape[0]
+    oh = (idx[:, None] == jax.lax.iota(jnp.int32, T)[None, :]).astype(jnp.float32)
+    hi = jnp.dot(oh, (table >> 12).astype(jnp.float32)).astype(jnp.int32)
+    lo = jnp.dot(oh, (table & 0xFFF).astype(jnp.float32)).astype(jnp.int32)
+    return hi * 4096 + lo
+
+
+def onehot_take_bool(table, idx):
+    """`table[idx]` for bool tables via one one-hot f32 MXU contraction."""
+    T = table.shape[0]
+    oh = (idx[:, None] == jax.lax.iota(jnp.int32, T)[None, :]).astype(jnp.float32)
+    return jnp.dot(oh, table.astype(jnp.float32)) > 0.5
