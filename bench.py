@@ -38,7 +38,7 @@ def main():
     pb = read_instance("/root/reference/resources/knapsack/knapPI_1_2000_1000_1")
     bundle = ModelBundle(pb, KPRelax(pb), KPRanking())
 
-    K, W = 32, 256
+    K, W = 64, 256
     compiler = DDCompiler(bundle, W, CutsetType.LAST_EXACT_LAYER)
     root = root_subproblem(pb)
     subs = [root] * K

@@ -55,6 +55,7 @@ import numpy as np
 
 from ddo_tpu.core.problem import ModelBundle, Problem
 from ddo_tpu.core.types import CompilationType, CutsetType, SubProblem, state_key_bytes
+from ddo_tpu.engine import backward as bwd
 from ddo_tpu.ops import segments as seg_ops
 from ddo_tpu.utils.num import INF, NEG_INF, VALUE_DTYPE, sat_add, sat_sub
 
@@ -558,83 +559,31 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
     vb_n = jnp.where(term_mask & do_locb, 0, NEG_INF).astype(VALUE_DTYPE)
     mk_n = term_mask & do_locb
 
-    def locb_step(carry, xs):
-        # carry = marked-effective bottom values (NEG_INF encodes unmarked);
-        # one gather instead of separate (value_bot, marked) gathers
-        vb_eff_next = carry
-        ec, eco, ev = xs  # flat [C] edge planes
-        cc = jnp.clip(ec, 0, W - 1)
-        ok = ev & (ec >= 0)
-        g = seg_ops.onehot_take_i32(vb_eff_next, cc)
-        cm = ok & (g > NEG_INF)
-        contrib = jnp.where(cm, sat_add(g, eco), NEG_INF)
-        vb = jnp.max(contrib.reshape(W, D), axis=1)
-        mk = jnp.any(cm.reshape(W, D), axis=1)
-        return jnp.where(mk, vb, NEG_INF), (vb, mk)
-
-    _, (vb_stack, mk_stack) = jax.lax.scan(
-        locb_step, jnp.where(mk_n, vb_n, NEG_INF), (E_child, E_cost, E_valid),
-        reverse=True,
-    )
-    value_bot = cat(vb_stack, vb_n)
-    marked = cat(mk_stack, mk_n)
-
-    if _os.environ.get("DD_STAGE") == "locb":
-        return dict(expanded=expanded, best_value=value_bot.max())
-
-    # --- thresholds, bottom-up reverse scan (clean.rs:478-532) -------------
+    # fused bottom-up pass: local bounds (clean.rs:448-475) + thresholds
+    # (clean.rs:478-532) in ONE reverse sweep over the edge planes — Pallas
+    # kernel on TPU, lax.scan elsewhere (engine/backward.py).
     do_thresh = do_cutset
     best_known = jnp.maximum(best_lb, jnp.where(bx_feasible, bx_value, NEG_INF))
-
-    def thresh_rules(alive, val, rub, vb, cutf, exact, th, hs):
-        """Per-node threshold rules (clean.rs:503-517)."""
-        tot_rub = sat_add(val, rub)
-        b1 = tot_rub <= best_known
-        th1 = sat_sub(best_known, rub)
-        tot_locb = sat_add(val, vb)
-        th2a = jnp.minimum(jnp.where(hs, th, INF), sat_sub(best_known, vb))
-        th2 = jnp.where(tot_locb <= best_known, th2a, val)
-        b3 = exact & ~hs
-        new_th = jnp.where(b1, th1, jnp.where(cutf, th2, jnp.where(b3, INF, th)))
-        new_hs = hs | b1 | cutf | b3
-        return jnp.where(alive, new_th, th), jnp.where(alive, new_hs, hs)
 
     if spec.cutset_type == CutsetType.LAST_EXACT_LAYER:
         t_init = term_mask & bx_feasible & is_exact_dd
     else:
         t_init = term_mask & bx_feasible & term["exact"]
     th_n = jnp.where(t_init, best_known, INF)
-    th_n, hs_n = thresh_rules(
-        term_mask, term["val"], S_rub[n], value_bot[n], cutflag[n], term["exact"],
-        th_n, t_init,
+    th_n, hs_n = bwd.thresh_rules(
+        best_known, term_mask, term["val"], S_rub[n], vb_n, cutflag[n],
+        term["exact"], th_n, t_init,
     )
 
-    def thresh_step(carry, xs):
-        # carry = propagation-effective thresholds of the child layer: INF
-        # encodes "nothing to propagate" (alive & has_theta folded in);
-        # a genuine INF threshold then propagates as INF-cost ~ INF, which
-        # prunes identically to the reference's Some(MAX) propagation.
-        th_eff_next = carry
-        ec, eco, ev, val_l, rub_l, vb_l, cutf_l, exact_l, mask_l = xs
-        cc = jnp.clip(ec, 0, W - 1)  # flat [C] edge planes
-        ok = ev & (ec >= 0)
-        # propagate children's thresholds along in-edges (clean.rs:522-528)
-        g = jnp.where(ok, seg_ops.onehot_take_i32(th_eff_next, cc), INF)
-        ch_has = g < INF
-        cand = jnp.where(ch_has, sat_sub(g, eco), INF)
-        th_l = jnp.min(cand.reshape(W, D), axis=1)
-        hs_l = jnp.any(ch_has.reshape(W, D), axis=1)
-        th_l = jnp.where(hs_l, th_l, INF)
-        th_l, hs_l = thresh_rules(mask_l, val_l, rub_l, vb_l, cutf_l, exact_l, th_l, hs_l)
-        return jnp.where(hs_l & mask_l, th_l, INF), (th_l, hs_l)
-
-    _, (th_stack, hs_stack) = jax.lax.scan(
-        thresh_step,
+    vb_stack, mk_stack, th_stack, hs_stack = bwd.fused_backward(
+        E_child, E_cost, E_valid, S_val[:n], S_rub[:n], cutflag[:n],
+        S_exact[:n], S_mask[:n],
+        jnp.where(mk_n, vb_n, NEG_INF),
         jnp.where(hs_n & term_mask, th_n, INF),
-        (E_child, E_cost, E_valid, S_val[:n], S_rub[:n], value_bot[:n],
-         cutflag[:n], S_exact[:n], S_mask[:n]),
-        reverse=True,
+        best_known,
     )
+    value_bot = cat(vb_stack, vb_n)
+    marked = cat(mk_stack, mk_n)
     theta = jnp.where(do_thresh, cat(th_stack, th_n), INF)
     has_theta = cat(hs_stack, hs_n) & do_thresh
 

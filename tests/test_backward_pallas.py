@@ -1,0 +1,43 @@
+"""Pallas fused-backward kernel vs. the lax.scan reference path.
+
+The engine uses the Pallas kernel on TPU (engine/backward.py); here the
+kernel runs in interpreter mode on CPU and must agree bit-for-bit with
+the scan implementation on randomized edge planes.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddo_tpu.engine import backward as bwd
+from ddo_tpu.utils.num import INF, NEG_INF
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_pallas_backward_matches_scan(seed):
+    rng = np.random.default_rng(seed)
+    n, W, D = 7, 16, 3
+    C = W * D
+
+    ec = rng.integers(-1, W, (n, C)).astype(np.int32)
+    eco = rng.integers(-20, 20, (n, C)).astype(np.int32)
+    ev = rng.random((n, C)) < 0.6
+    val = rng.integers(-50, 50, (n, W)).astype(np.int32)
+    rub = rng.integers(0, 60, (n, W)).astype(np.int32)
+    cutf = rng.random((n, W)) < 0.2
+    exact = rng.random((n, W)) < 0.5
+    mask = rng.random((n, W)) < 0.8
+    vb_init = np.where(rng.random(W) < 0.5, rng.integers(-5, 5, W), NEG_INF).astype(np.int32)
+    th_init = np.where(rng.random(W) < 0.5, rng.integers(-30, 30, W), INF).astype(np.int32)
+    best_known = int(rng.integers(-20, 40))
+
+    args = [jnp.asarray(x) for x in
+            (ec, eco, ev, val, rub, cutf, exact, mask, vb_init, th_init)]
+
+    ref = bwd.backward_scans(*args, best_known)
+    got = bwd.backward_pallas(*args, best_known, interpret=True)
+
+    for r, g, name in zip(ref, got, ["vb", "mk", "th", "hs"]):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g), err_msg=name)

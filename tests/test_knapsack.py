@@ -126,3 +126,27 @@ def test_wide_width_single_dd():
     assert completion.is_exact
     assert solver.best_value() == 295
     assert solver.explored() == 1
+
+
+# medium instances from the reference's non-ignored suite (tests.rs)
+MEDIUM = [
+    ("f8_l-d_kp_23_10000", 9767),
+    ("knapPI_1_100_1000_1", 9147),
+    ("knapPI_2_100_1000_1", 1514),
+    ("knapPI_3_100_1000_1", 2397),
+    ("knapPI_1_200_1000_1", 11238),
+    ("knapPI_2_200_1000_1", 1634),
+    ("knapPI_3_200_1000_1", 2697),
+]
+
+
+@pytest.mark.parametrize("fname,opt", MEDIUM)
+def test_medium_instances(fname, opt):
+    pb = read_instance(f"{RESOURCES}/{fname}")
+    solver = ddo_tpu.SequentialSolver(
+        bundle_for(pb), width_heu=FixedWidth(32), cache=ddo_tpu.SimpleCache(),
+        batch=4, buffer_width=64,
+    )
+    completion = solver.maximize()
+    assert completion.is_exact
+    check_solution(pb, solver, opt)

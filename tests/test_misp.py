@@ -86,3 +86,22 @@ def test_mann_a9():
     assert completion.is_exact
     assert solver.best_value() == 16
     check_independent(pb, solver, 16)
+
+
+# more DIMACS instances from the reference suite (tests.rs optima)
+DIMACS = [
+    ("hamming6-2.clq", 32, 16),
+    ("hamming6-4.clq", 4, 16),
+    ("johnson8-4-4.clq", 14, 32),
+    ("c-fat200-1.clq", 12, 16),
+    ("c-fat200-2.clq", 24, 16),
+]
+
+
+@pytest.mark.parametrize("fname,opt,width", DIMACS)
+def test_dimacs_instances(fname, opt, width):
+    pb = read_instance(f"{RESOURCES}/{fname}")
+    solver, completion = solve(pb, width=width, batch=4)
+    assert completion.is_exact
+    assert solver.best_value() == opt
+    check_independent(pb, solver, opt)

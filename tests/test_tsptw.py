@@ -90,3 +90,19 @@ def test_langevin_n20():
     solver, completion = solve(pb, TsptwWidth(pb.nb_variables, 1), batch=4)
     assert completion.is_exact
     assert round(-solver.best_value() / 10000.0, 2) == 661.60
+
+
+# more Langevin instances (tsptw/tests.rs, decode: -value/1e4)
+LANGEVIN = [
+    ("N20ft302.dat", 703.00),
+    ("N20ft303.dat", 746.40),
+    ("N20ft304.dat", 817.00),
+]
+
+
+@pytest.mark.parametrize("fname,opt", LANGEVIN)
+def test_langevin_suite(fname, opt):
+    pb = read_instance(f"/root/reference/resources/tsptw/Langevin/{fname}")
+    solver, completion = solve(pb, TsptwWidth(pb.nb_variables, 1), batch=4)
+    assert completion.is_exact
+    assert round(-solver.best_value() / 10000.0, 2) == opt
