@@ -16,6 +16,7 @@ Reference model: /root/reference/ddo/examples/lcs/{model,dp,dominance}.rs
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,10 +63,13 @@ class Lcs(Problem):
             t = _lcs_table(self.strings[i], self.strings[i + 1])
             tables[i, : t.shape[0], : t.shape[1]] = t
 
+        # tables are kept in f32 (all values <= L < 2^24, f32-exact):
+        # per-node lookups run as one-hot MXU contractions — XLA:TPU
+        # serializes dynamic gathers (see ops/segments.onehot_take_i32)
         self._data = dict(
-            next=jnp.asarray(nxt, I32),
-            rem=jnp.asarray(rem, I32),
-            tables=jnp.asarray(tables, I32),
+            next=jnp.asarray(nxt, jnp.float32),
+            rem=jnp.asarray(rem, jnp.float32),
+            tables=jnp.asarray(tables, jnp.float32),
             lengths=jnp.asarray(self.lengths, I32),
         )
 
@@ -79,20 +83,23 @@ class Lcs(Problem):
     def step(self, data, state, var, d, depth):
         m = self.n_strings
         pos = state["pos"]
-        sidx = jnp.arange(m, dtype=I32)
         is_end = d == self.n_chars
         c = jnp.clip(d, 0, self.n_chars - 1)
-        remc = data["rem"][sidx, c, pos]  # [m]
-        char_ok = jnp.all(remc > 0)
+        # one-hot position/char lookups (MXU; values <= L are f32-exact)
+        Lr = data["rem"].shape[2]
+        oh_pos = (pos[:, None] == jax.lax.broadcasted_iota(I32, (m, Lr), 1)
+                  ).astype(jnp.float32)  # [m, L+1]
+        oh_c = (jnp.arange(self.n_chars) == c).astype(jnp.float32)  # [n_chars]
+        remmat = jnp.einsum("ml,mcl->mc", oh_pos, data["rem"])  # [m, n_chars]
+        remc = remmat @ oh_c  # [m]
+        char_ok = jnp.all(remc > 0.5)
         # the go-to-end slot is valid only when no character is left in
         # every string (model.rs:103-118)
-        remmat = data["rem"][
-            sidx[:, None], jnp.arange(self.n_chars)[None, :], pos[:, None]
-        ]  # [m, n_chars]
-        any_char = jnp.any(jnp.all(remmat > 0, axis=0))
+        any_char = jnp.any(jnp.all(remmat > 0.5, axis=0))
         valid = jnp.where(is_end, ~any_char, char_ok)
 
-        np_char = data["next"][sidx, c, pos] + 1
+        nxtmat = jnp.einsum("ml,mcl->mc", oh_pos, data["next"])  # [m, n_chars]
+        np_char = (nxtmat @ oh_c).astype(I32) + 1
         npos = jnp.where(is_end, data["lengths"], np_char).astype(I32)
         cost = jnp.where(is_end, 0, 1).astype(VALUE_DTYPE)
         dval = jnp.where(is_end, GO_TO_END, d).astype(I32)
@@ -120,12 +127,17 @@ class LcsRelax(Relaxation):
         pb = self.problem
         m = pb.n_strings
         pos = state["pos"]
-        sidx = jnp.arange(m, dtype=I32)
-        remc = data["rem"][sidx[:, None], jnp.arange(pb.n_chars)[None, :], pos[:, None]]
-        tot = jnp.sum(jnp.min(remc, axis=0))
+        Lr = data["rem"].shape[2]
+        oh_pos = (pos[:, None] == jax.lax.broadcasted_iota(I32, (m, Lr), 1)
+                  ).astype(jnp.float32)  # [m, L+1]
+        remmat = jnp.einsum("ml,mcl->mc", oh_pos, data["rem"])
+        tot = jnp.sum(jnp.min(remmat, axis=0)).astype(I32)
         if m > 1:
-            pidx = jnp.arange(m - 1, dtype=I32)
-            pair = data["tables"][pidx, pos[:-1], pos[1:]]
+            Lt = data["tables"].shape[1]
+            ohp = oh_pos[:, :Lt]
+            # tables[p, pos[p], pos[p+1]] as two chained contractions
+            t_rows = jnp.einsum("pl,plk->pk", ohp[:-1], data["tables"])
+            pair = jnp.einsum("pk,pk->p", t_rows, ohp[1:]).astype(I32)
             tot = jnp.minimum(tot, jnp.min(pair))
         return tot.astype(VALUE_DTYPE)
 
