@@ -48,7 +48,12 @@ from ddo_tpu.search.dominance import (
     SimpleDominanceChecker,
 )
 from ddo_tpu.search.fringe import Fringe, NoDupFringe, SimpleFringe
-from ddo_tpu.search.solver import NativeSolver, ParallelSolver, SequentialSolver
+from ddo_tpu.search.solver import (
+    NativeSolver,
+    ParallelSolver,
+    SequentialSolver,
+    SolverStats,
+)
 from ddo_tpu.parallel.mesh import MeshCompiler, MeshSolver, make_mesh
 
 from ddo_tpu.utils.num import INF, NEG_INF

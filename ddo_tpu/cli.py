@@ -161,6 +161,7 @@ def main(argv=None):
     print(f"Aborted:    {not completion.is_exact}")
     print(f"Explored:   {solver.explored()}")
     print(f"Expanded:   {solver.expanded_nodes}")
+    print(f"Stats:      {solver.stats.summary(solver.explored(), solver.expanded_nodes)}")
     print(f"Solution:   {values}")
 
     if args.dot:

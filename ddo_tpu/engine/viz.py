@@ -17,12 +17,20 @@ from ddo_tpu.utils.num import INF, NEG_INF
 
 @dataclasses.dataclass
 class VizConfig:
-    """clean.rs:884-910 (defaults match the reference builder)."""
+    """clean.rs:884-910 (defaults match the reference builder).
+
+    `show_deleted` divergence: the dense engine materializes layers as
+    fixed-width tensors and restricted/merged-away candidates are never
+    stored, so there are no deleted nodes to draw; the flag is accepted
+    for API parity and ignored.  `group_merged` clusters each layer's
+    *relaxed* (merged) nodes like the reference's purple clusters."""
 
     show_value: bool = True
     show_locb: bool = True
     show_rub: bool = True
     show_threshold: bool = True
+    show_deleted: bool = False
+    group_merged: bool = False
 
 
 def _extreme(x):
@@ -99,6 +107,21 @@ def as_graphviz(dd, config: VizConfig = None) -> str:
                     f"\t{node_id(layer - 1, bp)} -> {node_id(layer, slot)} "
                     f"[penwidth={width},label=\"(x{var} = {val})\"];"
                 )
+
+    # merged-node clusters (clean.rs:934-954)
+    if config.group_merged:
+        for layer in range(n + 1):
+            merged = [
+                str(node_id(layer, s))
+                for s in range(W)
+                if o["mask"][layer, s] and o["relaxed"][layer, s]
+            ]
+            if merged:
+                out.append(f"\tsubgraph cluster_{layer} {{")
+                out.append("\t\tstyle=filled;")
+                out.append("\t\tcolor=purple;")
+                out.append(f"\t\t{';'.join(merged)}")
+                out.append("\t};")
 
     # terminal sink (clean.rs:982-1001)
     term = [s for s in range(W) if o["mask"][n, s]]

@@ -22,6 +22,8 @@ thread re-reads the shared lower bound).
 
 from __future__ import annotations
 
+import dataclasses
+import time
 from typing import Optional
 
 import numpy as np
@@ -41,6 +43,36 @@ from ddo_tpu.search.cache import Cache, EmptyCache
 from ddo_tpu.search.dominance import DominanceChecker, EmptyDominanceChecker
 from ddo_tpu.search.fringe import Fringe, NoDupFringe
 from ddo_tpu.utils.num import INF, NEG_INF
+
+
+@dataclasses.dataclass
+class SolverStats:
+    """Per-phase timing + throughput counters.
+
+    The reference library publishes no observables beyond final stats
+    (SURVEY.md section 5); this is the richer instrumentation the TPU
+    rebuild adds: wall time per phase and the node-expansions/sec rate
+    (the BASELINE metric, also measured by bench.py)."""
+
+    restricted_s: float = 0.0  # device time in restricted compilations
+    relaxed_s: float = 0.0  # device time in relaxed compilations
+    host_s: float = 0.0  # host time: drain / cache / fringe upkeep
+    supersteps: int = 0
+    start: float = 0.0
+    total_s: float = 0.0
+
+    def expansions_per_sec(self, expanded: int) -> float:
+        dev = self.restricted_s + self.relaxed_s
+        return expanded / dev if dev > 0 else 0.0
+
+    def summary(self, explored: int, expanded: int) -> str:
+        return (
+            f"supersteps={self.supersteps} explored={explored} "
+            f"expanded={expanded} restricted={self.restricted_s:.3f}s "
+            f"relaxed={self.relaxed_s:.3f}s host={self.host_s:.3f}s "
+            f"total={self.total_s:.3f}s "
+            f"rate={self.expansions_per_sec(expanded):,.0f} nodes/s"
+        )
 
 
 class SequentialSolver:
@@ -90,6 +122,7 @@ class SequentialSolver:
         self.expanded_nodes = 0  # total DD node expansions (bench metric)
         self.open_by_layer = np.zeros(problem.nb_variables + 1, np.int64)
         self.first_active_layer = 0
+        self.stats = SolverStats()
 
     def _probe_width(self) -> int:
         root = root_subproblem(self.problem)
@@ -98,6 +131,7 @@ class SequentialSolver:
     # ------------------------------------------------------------------ API
     def maximize(self) -> Completion:
         """sequential.rs:475-494."""
+        self.stats.start = time.perf_counter()
         self.cache.initialize(self.problem)
         self.fringe.push(root_subproblem(self.problem))
         self.open_by_layer[0] += 1
@@ -110,7 +144,9 @@ class SequentialSolver:
                 self._abort(Reason.CUTOFF_OCCURRED, batch)
                 break
             self._process_batch(batch)
+            self.stats.supersteps += 1
 
+        self.stats.total_s = time.perf_counter() - self.stats.start
         if self.abort_proof is None:
             self.best_ub = self.best_lb
         return Completion(
@@ -181,9 +217,12 @@ class SequentialSolver:
         widths = [max(1, self.width_heu.max_width(nd)) for nd in batch]
         best_lb = self.best_lb
 
+        t0 = time.perf_counter()
         restricted = self.compiler.compile_batch(
             CompilationType.RESTRICTED, batch, best_lb, widths
         )
+        t1 = time.perf_counter()
+        self.stats.restricted_s += t1 - t0
         need_relax, widths2 = [], []
         for nd, dd, w in zip(batch, restricted, widths):
             self.expanded_nodes += int(dd.o["expanded"])
@@ -192,18 +231,23 @@ class SequentialSolver:
             if not dd.is_exact():
                 need_relax.append(nd)
                 widths2.append(w)
+        self.stats.host_s += time.perf_counter() - t1
 
         if not need_relax:
             return
+        t2 = time.perf_counter()
         relaxed = self.compiler.compile_batch(
             CompilationType.RELAXED, need_relax, self.best_lb, widths2
         )
+        t3 = time.perf_counter()
+        self.stats.relaxed_s += t3 - t2
         for nd, dd in zip(need_relax, relaxed):
             self.expanded_nodes += int(dd.o["expanded"])
             self._maybe_update_best(dd)
             self._apply_cache_updates(dd)
             if not dd.is_exact():
                 self._enqueue_cutset(nd, dd)
+        self.stats.host_s += time.perf_counter() - t3
 
     def _maybe_update_best(self, dd):
         """sequential.rs:394-400."""
