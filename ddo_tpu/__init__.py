@@ -55,6 +55,7 @@ from ddo_tpu.search.solver import (
     SolverStats,
 )
 from ddo_tpu.parallel.mesh import MeshCompiler, MeshSolver, make_mesh
+from ddo_tpu.api import Solution, maximize
 
 from ddo_tpu.utils.num import INF, NEG_INF
 

@@ -291,15 +291,24 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         inval = (~f_valid).astype(I32)
         key_ops = (inval,) + tuple(f_keys[:, k] for k in range(K)) + (-f_val, -idxs)
         state_cols, state_spec = _tree_to_cols(f_state)
-        payload = (f_parent, f_dval, f_pexact, f_skip) + state_cols
+        # f_parent = idxs // D rides implicitly on `perm`; f_skip only
+        # exists in long-arc mode — every payload operand dropped is one
+        # less array through the whole bitonic network
+        payload = (f_dval, f_pexact) + ((f_skip,) if has_long_arcs else ()) + state_cols
         sorted_ops = jax.lax.sort(
             key_ops + payload, num_keys=len(key_ops), is_stable=False
         )
         kv = jnp.stack(sorted_ops[1 : 1 + K], axis=1)
         val_s_raw = -sorted_ops[1 + K]
         perm = -sorted_ops[2 + K]
-        parent_s, dval_s, pexact_s, skip_s = sorted_ops[3 + K : 7 + K]
-        slot_state = _tree_from_cols(state_spec, sorted_ops[7 + K :])
+        parent_s = perm // D
+        dval_s, pexact_s = sorted_ops[3 + K], sorted_ops[4 + K]
+        if has_long_arcs:
+            skip_s = sorted_ops[5 + K]
+            slot_state = _tree_from_cols(state_spec, sorted_ops[6 + K :])
+        else:
+            skip_s = jnp.zeros((C,), bool)
+            slot_state = _tree_from_cols(state_spec, sorted_ops[5 + K :])
         valid_s = sorted_ops[0] == 0
         val_s = jnp.where(valid_s, val_s_raw, NEG_INF)
         first = jnp.concatenate([jnp.ones((1,), bool), jnp.any(kv[1:] != kv[:-1], axis=1)])
@@ -319,9 +328,9 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         slot_exact = (seg_ops.onehot_take_i32(X, run_end) - X[idxs]) == 0
         slot_keys = kv
         slot_valid = head
-        # orig candidate -> its run head slot, via one inverse-permutation
-        # sort (payload = target values, keys = perm)
-        _, cand_slot = jax.lax.sort((perm, head_pos), num_keys=1, is_stable=False)
+        # orig candidate -> its run head slot, via a one-hot MXU scatter
+        # (an inverse-permutation sort would be a full bitonic pass)
+        cand_slot = seg_ops.onehot_scatter_i32(perm, head_pos, C)
 
         # --- squash: restrict (clean.rs:802-815) / relax (clean.rs:817-876)
         # The reference only ever squashes a layer it is about to expand
@@ -349,15 +358,26 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         # promising first, invalid last; next-layer data rides as payload
         q_keys = (inval2, -slot_val) + tuple(-slot_rank[:, r] for r in range(R))
         slot_cols, _ = _tree_to_cols(slot_state)
-        payload2 = (idxs, slot_bp, slot_bd, slot_exact, slot_bs) + slot_cols
+        # pack (bp+1, exact, bs) into one operand: bp+1 < 2^21 (buffer
+        # width), exact bit 21, bs bit 22 — two fewer arrays through the
+        # bitonic network
+        slot_pk = (
+            (slot_bp + 1)
+            | (slot_exact.astype(I32) << 21)
+            | (slot_bs.astype(I32) << 22)
+        )
+        payload2 = (idxs, slot_pk, slot_bd) + slot_cols
         sorted2 = jax.lax.sort(q_keys + payload2, num_keys=2 + R, is_stable=False)
         nq = 2 + R
         order2 = sorted2[nq]
         so_val = -sorted2[1]
-        so_bp, so_bd, so_exact, so_bs = sorted2[nq + 1 : nq + 5]
-        so_state = _tree_from_cols(state_spec, sorted2[nq + 5 :])
+        so_pk, so_bd = sorted2[nq + 1], sorted2[nq + 2]
+        so_bp = (so_pk & ((1 << 21) - 1)) - 1
+        so_exact = (so_pk >> 21 & 1).astype(bool)
+        so_bs = (so_pk >> 22 & 1).astype(bool)
+        so_state = _tree_from_cols(state_spec, sorted2[nq + 3 :])
         so_valid = sorted2[0] == 0
-        rank_of = jax.lax.sort((order2, idxs), num_keys=1, is_stable=False)[1]
+        rank_of = seg_ops.onehot_scatter_i32(order2, idxs, C)
 
         limit = jnp.where(need_relax, cap - 1, jnp.where(need_restrict, cap, C))
         kept = slot_valid & (rank_of < limit)
@@ -411,7 +431,6 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         m_bp = jnp.where(m_best_flat >= 0, f_parent[jnp.clip(m_best_flat, 0, C - 1)], -1)
         m_bd = jnp.where(m_best_flat >= 0, f_dval[jnp.clip(m_best_flat, 0, C - 1)], 0)
         m_bs = (m_best_flat >= 0) & f_skip[jnp.clip(m_best_flat, 0, C - 1)]
-        m_par_exact_all = jnp.all(jnp.where(e_merge, f_pexact, True))
 
         # --- materialize next layer [W] by gathering sorted slots ----------
         width_used = jnp.where(
@@ -440,9 +459,13 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         nl_bp = jnp.where(is_mpos & take_medge, m_bp, nl_bp)
         nl_bd = jnp.where(is_mpos & take_medge, m_bd, nl_bd)
         nl_bs = jnp.where(is_mpos & take_medge, m_bs, nl_bs)
-        nl_exact = jnp.where(
-            is_mpos, jnp.where(recycled, nl_exact & m_par_exact_all, False), nl_exact
-        )
+        # the merged node is NEVER exact, recycled or not: the reference's
+        # is_exact() is `EXACT && !RELAXED` (node_flags.rs:88-90) and
+        # _relax flags the recycled node relaxed (clean.rs:849), so its
+        # possibly-surviving EXACT bit is dead — a recycled node's relaxed
+        # in-edges carry relax_cost-inflated values that must not be
+        # claimed as exact (EBPO) nor seed best_exact_value
+        nl_exact = jnp.where(is_mpos, False, nl_exact)
         nl_relaxed = jnp.where(is_mpos, True, nl_relaxed)
         q_valid = q_valid | is_mpos
         nl_state = _tree_where_mask(

@@ -106,6 +106,21 @@ def onehot_take_i32(table, idx):
     return hi * 4096 + lo
 
 
+def onehot_scatter_i32(idx, values, size):
+    """Exact `out[idx[i]] = values[i]` (idx a permutation of range(size))
+    as one-hot f32 MXU contractions.
+
+    Replaces the `lax.sort((idx, values), num_keys=1)` inverse-permutation
+    idiom: a [C] sort is a ~log^2(C)-stage bitonic network on TPU, while
+    the same scatter as a `[C] @ [C, C]` one-hot matmul is one MXU pass.
+    Exact for the full int32 range (negatives included) via the 12-bit
+    arithmetic split of `onehot_take_i32`."""
+    oh = (idx[:, None] == jax.lax.iota(jnp.int32, size)[None, :]).astype(jnp.float32)
+    hi = jnp.dot((values >> 12).astype(jnp.float32), oh).astype(jnp.int32)
+    lo = jnp.dot((values & 0xFFF).astype(jnp.float32), oh).astype(jnp.int32)
+    return hi * 4096 + lo
+
+
 def onehot_take_bool(table, idx):
     """`table[idx]` for bool tables via one one-hot f32 MXU contraction."""
     T = table.shape[0]
