@@ -216,6 +216,63 @@ def test_tsptw_langevin(fname, opt):
 
 
 # --------------------------------------------------------------------------
+# TSPTW — SolomonPotvinBengio suite (tsptw/tests.rs solve_solomon_potvin_bengio
+# asserts; objective = -value/1e4, 4-decimal parity with the reference)
+# --------------------------------------------------------------------------
+SOLOMON_PB = [
+    ("rc_201.1.txt", 592.0611),
+    ("rc_201.2.txt", 860.1748),
+    ("rc_201.3.txt", 853.7075),
+    ("rc_201.4.txt", 889.1761),
+    ("rc_202.1.txt", 850.48),
+    ("rc_202.2.txt", 338.5183),
+    ("rc_202.3.txt", 894.1028),
+    ("rc_202.4.txt", 853.7075),
+    ("rc_203.1.txt", 488.4224),
+    ("rc_203.2.txt", 853.7075),
+    ("rc_203.3.txt", 921.4397),
+    ("rc_203.4.txt", 338.5183),
+    ("rc_204.1.txt", 917.83),
+    ("rc_204.2.txt", 690.06),
+    ("rc_204.3.txt", 455.0315),
+    ("rc_205.1.txt", 417.8058),
+    ("rc_205.2.txt", 820.1853),
+    ("rc_205.3.txt", 950.0539),
+    ("rc_205.4.txt", 837.7083),
+    ("rc_206.1.txt", 117.8479),
+    ("rc_206.2.txt", 870.4875),
+    ("rc_206.3.txt", 650.5942),
+    ("rc_206.4.txt", 911.9814),
+    ("rc_207.1.txt", 804.6735),
+    ("rc_207.2.txt", 713.90),
+    ("rc_207.3.txt", 745.7717),
+    ("rc_207.4.txt", 133.1421),
+    ("rc_208.1.txt", 810.70),
+    ("rc_208.2.txt", 579.51),
+    ("rc_208.3.txt", 686.7954),
+]
+
+
+@pytest.mark.parametrize("fname,opt", SOLOMON_PB)
+def test_tsptw_solomon_potvin_bengio(fname, opt):
+    from ddo_tpu.models.tsptw import (
+        TsptwDominance, TsptwRanking, TsptwRelax, TsptwWidth, read_instance,
+    )
+
+    pb = read_instance(f"{R}/tsptw/SolomonPotvinBengio/{fname}")
+    bundle = ModelBundle(pb, TsptwRelax(pb), TsptwRanking())
+    solver = ddo_tpu.SequentialSolver(
+        bundle, width_heu=TsptwWidth(pb.nb_variables, 1), batch=8,
+        cache=ddo_tpu.SimpleCache(), cutset_type=ddo_tpu.FRONTIER,
+        dominance=SimpleDominanceChecker(TsptwDominance(), pb.nb_variables),
+        buffer_width=max(64, pb.nb_variables),
+    )
+    completion = solver.maximize()
+    assert completion.is_exact
+    assert round(-solver.best_value() / 10000.0, 4) == round(opt, 4)
+
+
+# --------------------------------------------------------------------------
 # SOP (sop/tests.rs)
 # --------------------------------------------------------------------------
 SOP = [
