@@ -38,7 +38,7 @@ def main():
     pb = read_instance("/root/reference/resources/knapsack/knapPI_1_2000_1000_1")
     bundle = ModelBundle(pb, KPRelax(pb), KPRanking())
 
-    K, W = 64, 256
+    K, W = 128, 256  # K sweep on v5e: 33M exp/s @64, 43.5M @128, 42.3M @256
     compiler = DDCompiler(bundle, W, CutsetType.LAST_EXACT_LAYER)
     root = root_subproblem(pb)
     subs = [root] * K
