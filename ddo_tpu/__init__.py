@@ -40,14 +40,20 @@ from ddo_tpu.core.heuristics import (
     Times,
     WidthHeuristic,
 )
-from ddo_tpu.engine.mdd import CompiledDD, DDCompiler
+from ddo_tpu.engine.mdd import BufferOverflow, CompiledDD, DDCompiler
 from ddo_tpu.search.cache import Cache, EmptyCache, SimpleCache
 from ddo_tpu.search.dominance import (
     DominanceChecker,
     EmptyDominanceChecker,
     SimpleDominanceChecker,
 )
-from ddo_tpu.search.fringe import Fringe, NoDupFringe, SimpleFringe
+from ddo_tpu.search.fringe import (
+    Fringe,
+    MaxUB,
+    NoDupFringe,
+    SimpleFringe,
+    SubProblemRanking,
+)
 from ddo_tpu.search.solver import (
     NativeSolver,
     ParallelSolver,

@@ -46,17 +46,50 @@ class Fringe:
         return len(self) == 0
 
 
-def _rank_tuple(ranking, sub: SubProblem):
-    """Heap key: MaxUB order, negated for Python's min-heap."""
-    score = ranking.score_host(sub.state) if ranking is not None else 0
-    if isinstance(score, np.ndarray):
-        score = tuple(int(x) for x in score)
-    return (-sub.ub, -sub.value, _neg(score))
+class SubProblemRanking:
+    """Order in which the fringe yields open subproblems — counterpart of
+    the reference `SubProblemRanking` trait (abstraction/heuristics.rs:88,
+    subproblem_ranking.rs).  `key(sub)` returns a comparable; LARGER keys
+    pop first (the solvers' descending-UB invariant is only guaranteed when
+    the key leads with `sub.ub`, as `MaxUB` does)."""
+
+    def key(self, sub: SubProblem):
+        raise NotImplementedError
+
+
+class MaxUB(SubProblemRanking):
+    """Order by (ub, value, state ranking) — subproblem_ranking.rs:76-91."""
+
+    def __init__(self, state_ranking=None):
+        self.state_ranking = state_ranking
+
+    def key(self, sub: SubProblem):
+        score = (
+            self.state_ranking.score_host(sub.state)
+            if self.state_ranking is not None
+            else 0
+        )
+        if isinstance(score, np.ndarray):
+            score = tuple(int(x) for x in score)
+        return (sub.ub, sub.value, score)
+
+
+def _as_ranking(ranking) -> SubProblemRanking:
+    """Back-compat shim: a StateRanking (with `score_host`) becomes the
+    tie-break dimension of the default MaxUB order."""
+    if ranking is None or isinstance(ranking, SubProblemRanking):
+        return ranking or MaxUB()
+    return MaxUB(ranking)
+
+
+def _rank_tuple(ranking: SubProblemRanking, sub: SubProblem):
+    """Heap key, negated for Python's min-heap (largest key pops first)."""
+    return _neg(ranking.key(sub))
 
 
 def _neg(score):
     if isinstance(score, tuple):
-        return tuple(-s for s in score)
+        return tuple(_neg(s) for s in score)
     return -int(score)
 
 
@@ -64,7 +97,7 @@ class SimpleFringe(Fringe):
     """Plain binary heap, duplicates allowed (fringe/simple.rs)."""
 
     def __init__(self, ranking=None):
-        self.ranking = ranking
+        self.ranking = _as_ranking(ranking)
         self._heap = []
         self._count = itertools.count()
 
@@ -93,7 +126,7 @@ class NoDupFringe(Fringe):
     """
 
     def __init__(self, ranking=None):
-        self.ranking = ranking
+        self.ranking = _as_ranking(ranking)
         self._heap = []
         self._by_state = {}  # key -> SubProblem (live entry)
         self._count = itertools.count()

@@ -196,13 +196,13 @@ LANGEVIN = [
 ]
 
 
-@pytest.mark.parametrize("fname,opt", LANGEVIN)
-def test_tsptw_langevin(fname, opt):
+def _solve_tsptw(path, opt, decimals):
+    """Shared TSPTW parity runner (one solver config for every suite)."""
     from ddo_tpu.models.tsptw import (
         TsptwDominance, TsptwRanking, TsptwRelax, TsptwWidth, read_instance,
     )
 
-    pb = read_instance(f"{R}/tsptw/Langevin/{fname}")
+    pb = read_instance(path)
     bundle = ModelBundle(pb, TsptwRelax(pb), TsptwRanking())
     solver = ddo_tpu.SequentialSolver(
         bundle, width_heu=TsptwWidth(pb.nb_variables, 1), batch=8,
@@ -212,7 +212,12 @@ def test_tsptw_langevin(fname, opt):
     )
     completion = solver.maximize()
     assert completion.is_exact
-    assert round(-solver.best_value() / 10000.0, 2) == opt
+    assert round(-solver.best_value() / 10000.0, decimals) == round(opt, decimals)
+
+
+@pytest.mark.parametrize("fname,opt", LANGEVIN)
+def test_tsptw_langevin(fname, opt):
+    _solve_tsptw(f"{R}/tsptw/Langevin/{fname}", opt, 2)
 
 
 # --------------------------------------------------------------------------
@@ -255,21 +260,7 @@ SOLOMON_PB = [
 
 @pytest.mark.parametrize("fname,opt", SOLOMON_PB)
 def test_tsptw_solomon_potvin_bengio(fname, opt):
-    from ddo_tpu.models.tsptw import (
-        TsptwDominance, TsptwRanking, TsptwRelax, TsptwWidth, read_instance,
-    )
-
-    pb = read_instance(f"{R}/tsptw/SolomonPotvinBengio/{fname}")
-    bundle = ModelBundle(pb, TsptwRelax(pb), TsptwRanking())
-    solver = ddo_tpu.SequentialSolver(
-        bundle, width_heu=TsptwWidth(pb.nb_variables, 1), batch=8,
-        cache=ddo_tpu.SimpleCache(), cutset_type=ddo_tpu.FRONTIER,
-        dominance=SimpleDominanceChecker(TsptwDominance(), pb.nb_variables),
-        buffer_width=max(64, pb.nb_variables),
-    )
-    completion = solver.maximize()
-    assert completion.is_exact
-    assert round(-solver.best_value() / 10000.0, 4) == round(opt, 4)
+    _solve_tsptw(f"{R}/tsptw/SolomonPotvinBengio/{fname}", opt, 4)
 
 
 # --------------------------------------------------------------------------

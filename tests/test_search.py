@@ -232,3 +232,54 @@ def test_cutoffs():
     tb2 = TimeBudget(0.0)
     time.sleep(0.01)
     assert tb2.must_stop()
+
+
+# ---------------------------------------------- SubProblemRanking (pluggable)
+def test_maxub_pop_order_matches_reference_example():
+    """subproblem_ranking.rs test_maxub::example — pop order over six
+    subproblems: ub first, then value, then the StateRanking tiebreak."""
+    from ddo_tpu.search.fringe import MaxUB
+
+    class CharRanking:  # StateRanking shim: larger char ranks higher
+        def score_host(self, state):
+            return int(state)
+
+    f = SimpleFringe(ranking=MaxUB(CharRanking()))
+    for ch, value, ub in [
+        ("a", 42, 300), ("b", 2, 100), ("c", 24, 150),
+        ("d", 13, 60), ("e", 65, 700), ("f", 19, 100),
+    ]:
+        f.push(sub(ord(ch), value, ub))
+    order = []
+    while not f.is_empty():
+        order.append(chr(int(f.pop().state)))
+    assert order == ["e", "a", "c", "f", "b", "d"]
+
+
+def test_custom_subproblem_ranking_overrides_pop_order():
+    """A user-supplied SubProblemRanking replaces MaxUB entirely
+    (abstraction/heuristics.rs:88): here, deepest-first regardless of ub."""
+    from ddo_tpu.search.fringe import SubProblemRanking
+
+    class DeepestFirst(SubProblemRanking):
+        def key(self, s):
+            return (s.depth, s.ub)
+
+    f = NoDupFringe(ranking=DeepestFirst())
+    f.push(sub(1, 5, 100, depth=1))
+    f.push(sub(2, 5, 900, depth=0))
+    f.push(sub(3, 5, 50, depth=3))
+    assert int(f.pop().state) == 3
+    assert int(f.pop().state) == 1
+    assert int(f.pop().state) == 2
+
+
+def test_solver_accepts_subproblem_ranking_kwarg():
+    import ddo_tpu
+    from ddo_tpu.search.fringe import MaxUB
+    from tests.test_engine import dummy_bundle
+
+    _, bundle = dummy_bundle()
+    solver = ddo_tpu.SequentialSolver(bundle, subproblem_ranking=MaxUB())
+    completion = solver.maximize()
+    assert completion.is_exact and solver.best_value() == 6
