@@ -30,6 +30,17 @@ import numpy as np
 from ddo_tpu.utils.num import INF, VALUE_DTYPE
 
 
+def _static_key_of(obj):
+    """Trace-identity key of a model component: class + the attrs it
+    names in `_trace_statics` + (recursively) a referenced problem's key.
+    Instance ARRAYS are excluded on purpose — they ride the traced `data`
+    pytree, and their shapes are part of the jit signature anyway."""
+    extra = tuple(getattr(obj, a, None) for a in getattr(obj, "_trace_statics", ()))
+    pb = getattr(obj, "problem", None)
+    pkey = pb.static_key() if isinstance(pb, Problem) else None
+    return (type(obj), extra, pkey)
+
+
 class Problem:
     """DP formulation of a maximization problem as a labeled transition system.
 
@@ -59,6 +70,23 @@ class Problem:
     def data(self):
         """Pytree of instance arrays passed (traced) to every hook."""
         return ()
+
+    #: names of extra instance attrs whose VALUES shape the traced program
+    #: (scalars a traced hook reads off `self` instead of `data`); list
+    #: them so same-shape instances of one family share compiled kernels
+    _trace_statics: tuple = ()
+
+    def static_key(self):
+        """Trace-identity key: instances with equal keys (and equal data
+        SHAPES) share one jitted compilation — e.g. every TSPTW Langevin
+        n=20 instance compiles the engine once.  Host-only attrs (like a
+        knapsack's capacity, which reaches the kernel via the traced root
+        state) must NOT be listed in `_trace_statics` or sharing is lost;
+        trace-relevant scalars MUST be, or sharing would be wrong."""
+        return (
+            type(self), self.nb_variables, self.domain_size,
+            tuple(getattr(self, a, None) for a in self._trace_statics),
+        )
 
     # -- state space ---------------------------------------------------------
     def initial_state(self, data):
@@ -151,6 +179,11 @@ class Relaxation:
     def data(self):
         return ()
 
+    _trace_statics: tuple = ()
+
+    def static_key(self):
+        return _static_key_of(self)
+
     def merge(self, data, states, mask):
         raise NotImplementedError
 
@@ -173,6 +206,11 @@ class StateRanking:
     def data(self):
         return ()
 
+    _trace_statics: tuple = ()
+
+    def static_key(self):
+        return _static_key_of(self)
+
     def score(self, data, state):
         return jnp.zeros((1,), jnp.int32)
 
@@ -181,21 +219,47 @@ class Dominance:
     """Keyed multi-dimensional dominance relation between same-depth states.
 
     Mirrors the reference `Dominance` trait (abstraction/dominance.rs:37-99).
-    Evaluated host-side on fetched states (numpy), because the dominance
-    store is a global keyed front maintained across the whole search.
+    Two evaluation surfaces:
 
-      * `key(state) -> hashable | None`  (None = not comparable)
-      * `coords(state) -> np.ndarray`    (greater is better on every axis)
-      * `use_value` -> include the node value as an extra coordinate
+      * device hooks (jax, vectorizable) — used by the engine for
+        IN-COMPILATION dominance filtering (clean.rs:689-708):
+        `key_cols(state) -> int32[KK]` (states are only comparable when
+        every key column matches; KK may be 0 = all same-depth states
+        comparable) and `coord_cols(state) -> int32[CC]` (greater is
+        better on every axis; CC may be 0 = value-only dominance);
+      * host hooks (numpy) — used by the global keyed store:
+        `key(state) -> hashable | None` and `coords(state)`.  The
+        defaults derive them from the device hooks, so models normally
+        implement only `key_cols`/`coord_cols`.
+
+    `use_value` includes the node value as the last comparison dimension
+    (and enables pruning thresholds, dominance.rs:57-79).
     """
 
     use_value: bool = False
+    _trace_statics: tuple = ()
 
-    def key(self, state):
+    def static_key(self):
+        return (_static_key_of(self), self.use_value)
+
+    # -- device hooks (jax) --------------------------------------------------
+    def key_cols(self, state):
+        """int32[KK] comparability key, or None = filtering unsupported."""
         return None
 
+    def coord_cols(self, state):
+        """int32[CC] coordinates; greater is better on every axis."""
+        return jnp.zeros((0,), jnp.int32)
+
+    # -- host hooks (numpy), derived by default ------------------------------
+    def key(self, state):
+        cols = self.key_cols(state)
+        if cols is None:
+            return None
+        return np.asarray(cols, np.int64).tobytes()
+
     def coords(self, state):
-        return np.zeros(0, np.int64)
+        return np.asarray(self.coord_cols(state), np.int64)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -211,15 +275,25 @@ class ModelBundle:
     relaxation: Relaxation
     ranking: StateRanking
 
+    def static_key(self):
+        """Trace-identity of the whole bundle: same-family instances with
+        identical static keys share every jitted engine compilation (the
+        data pytrees are traced arguments, so only their SHAPES matter).
+        This is what makes a 400-instance parity sweep compile the kernel
+        a handful of times instead of 400."""
+        return (
+            self.problem.static_key(),
+            self.relaxation.static_key(),
+            self.ranking.static_key(),
+        )
+
     def __hash__(self):  # jit static-arg identity
-        return hash((id(self.problem), id(self.relaxation), id(self.ranking)))
+        return hash(self.static_key())
 
     def __eq__(self, other):
         return (
             isinstance(other, ModelBundle)
-            and self.problem is other.problem
-            and self.relaxation is other.relaxation
-            and self.ranking is other.ranking
+            and self.static_key() == other.static_key()
         )
 
     @property

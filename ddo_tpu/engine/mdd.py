@@ -70,9 +70,27 @@ class DDSpec:
     width: int  # W: layer buffer width (static)
     comp_type: CompilationType
     cutset_type: CutsetType
+    #: optional Dominance providing device hooks (key_cols/coord_cols) for
+    #: in-compilation dominance filtering (clean.rs:689-708)
+    dominance: Any = None
 
     def __hash__(self):
-        return hash((self.bundle, self.width, self.comp_type, self.cutset_type))
+        dom_key = self.dominance.static_key() if self.dominance is not None else None
+        return hash((self.bundle, self.width, self.comp_type, self.cutset_type,
+                     dom_key))
+
+    def __eq__(self, other):
+        if not isinstance(other, DDSpec):
+            return NotImplemented
+        dk = self.dominance.static_key() if self.dominance is not None else None
+        ok = other.dominance.static_key() if other.dominance is not None else None
+        return (
+            self.bundle == other.bundle
+            and self.width == other.width
+            and self.comp_type == other.comp_type
+            and self.cutset_type == other.cutset_type
+            and dk == ok
+        )
 
 
 def _tree_stack_template(state, dims):
@@ -131,7 +149,7 @@ def _tree_where_mask(mask, a, b):
 
 
 def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best_lb,
-                   eff_width, root_path_set=None):
+                   eff_width, root_path_set=None, cache_tab=None, dom_tab=None):
     """Trace-time body of one DD compilation.  All args but `spec` traced.
 
     Structured as three `lax.scan`s so every per-layer array is written as a
@@ -141,11 +159,31 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
       2. reverse: local bounds (clean.rs:448-475);
       3. reverse: thresholds (clean.rs:478-532).
     Returns a dict of device arrays describing the full compiled diagram.
+
+    In-compilation filtering (clean.rs:689-726): `cache_tab` /
+    `dom_tab` are per-depth snapshot tables of the solver's barrier cache
+    and dominance store:
+      cache_tab = {keys [n+1,T,K] i32, vals [n+1,T] i32, valid [n+1,T] bool}
+      dom_tab   = {keys [n+1,T,KK],  coords [n+1,T,CC], vals [n+1,T],
+                   valid [n+1,T]}
+    Every produced (non-root, non-terminal) layer is filtered against the
+    depth's slice: nodes at-or-below a cached threshold, and exact nodes
+    dominated by a snapshot entry, never materialize; their theta (the
+    stored threshold) propagates to parents through a per-parent `eptheta`
+    reduction consumed by the backward pass.  Additionally, with
+    `spec.dominance` set, nodes KEPT in a layer are pruned against each
+    other (within-layer dominance — the snapshot cannot see them);
+    pruned rows stay in the buffer masked-invalid, carrying their theta.
     """
     problem = spec.bundle.problem
     rlx = spec.bundle.relaxation
     ranking = spec.bundle.ranking
     pdata, rdata, kdata = datas
+    dom = spec.dominance
+    use_dom = dom is not None and dom.key_cols(
+        jax.tree_util.tree_map(jnp.asarray, root_state)
+    ) is not None
+    use_dom_snap = use_dom and dom_tab is not None
 
     n = problem.nb_variables
     W = spec.width
@@ -176,6 +214,13 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
     )
     v_pack = jax.vmap(problem.pack)
     v_rank = jax.vmap(lambda s: jnp.atleast_1d(jnp.asarray(ranking.score(kdata, s), I32)))
+    if use_dom:
+        v_dkey = jax.vmap(
+            lambda s: jnp.atleast_1d(jnp.asarray(dom.key_cols(s), I32))
+        )
+        v_dcoord = jax.vmap(
+            lambda s: jnp.atleast_1d(jnp.asarray(dom.coord_cols(s), I32))
+        )
 
     # long arcs (the pooled MDD's defining feature, pooled.rs:608-680 +
     # Problem::is_impacted_by, abstraction/dp.rs:66-71): when the model
@@ -206,6 +251,8 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         bd=jnp.zeros((W,), I32),
         bs=jnp.zeros((W,), bool),
         ebp=jnp.zeros((W,), bool),
+        wlp=jnp.zeros((W,), bool),
+        wlth=jnp.full((W,), INF, VALUE_DTYPE),
     )
 
     idxs = jnp.arange(C, dtype=I32)
@@ -224,6 +271,8 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         c_bd = jnp.where(is_root, 0, cur["bd"])
         c_bs = jnp.where(is_root, False, cur["bs"])
         c_ebp = jnp.where(is_root, r_mask, cur["ebp"])
+        c_wlp = jnp.where(is_root, False, cur["wlp"])
+        c_wlth = jnp.where(is_root, INF, cur["wlth"])
 
         if dynamic_order:
             var = problem.next_variable(pdata, i, c_state, c_mask, assigned)
@@ -244,15 +293,16 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         y_layer = dict(
             state=c_state, val=c_val, mask=c_mask, exact=c_exact,
             relaxed=c_relaxed, rub=rub, bp=c_bp, bd=c_bd, bs=c_bs,
+            wlp=c_wlp, wlth=c_wlth,
         )
 
         # --- expansion: vmap over [W, D] -----------------------------------
-        dom = jnp.arange(D, dtype=I32)
-        nstate, cost, dval, valid = v_step(c_state, var, dom, i)
+        domvals = jnp.arange(D, dtype=I32)
+        nstate, cost, dval, valid = v_step(c_state, var, domvals, i)
         if has_long_arcs:
             # unimpacted nodes: one identity candidate at domain slot 0
             keep = imp[:, None]  # [W, 1]
-            valid = jnp.where(keep, valid, dom[None, :] == 0)
+            valid = jnp.where(keep, valid, domvals[None, :] == 0)
             nstate = jax.tree_util.tree_map(
                 lambda real, cur: jnp.where(
                     imp.reshape((W, 1) + (1,) * (real.ndim - 2)),
@@ -313,7 +363,6 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         val_s = jnp.where(valid_s, val_s_raw, NEG_INF)
         first = jnp.concatenate([jnp.ones((1,), bool), jnp.any(kv[1:] != kv[:-1], axis=1)])
         head = valid_s & first
-        U = jnp.sum(head.astype(I32))
         head_pos = jax.lax.cummax(jnp.where(head, idxs, -1))
 
         slot_val = val_s
@@ -328,9 +377,70 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         slot_exact = (seg_ops.onehot_take_i32(X, run_end) - X[idxs]) == 0
         slot_keys = kv
         slot_valid = head
-        # orig candidate -> its run head slot, via a one-hot MXU scatter
-        # (an inverse-permutation sort would be a full bitonic pass)
-        cand_slot = seg_ops.onehot_scatter_i32(perm, head_pos, C)
+        # orig candidate -> its run head slot (adaptive: one-hot MXU
+        # scatter at bench sizes, bitonic inverse-permutation beyond)
+        cand_slot = seg_ops.scatter_i32(perm, head_pos, C)
+
+        # ---- in-compilation filtering (clean.rs:657-726) ------------------
+        # The reference filters curr_l against the barrier cache
+        # (_filter_with_cache, clean.rs:710-726) and the global dominance
+        # store (_filter_with_dominance, clean.rs:689-708) BEFORE squashing.
+        # Pruned nodes never materialize; their theta (the pruning
+        # threshold) is propagated to parents at the edge level (the
+        # reference keeps them in the node vec purely for that
+        # propagation).  The terminal layer is never filtered (it never
+        # passes through _move_to_next_layer).
+        is_last = i == (n - 1)
+        filters_on = ~is_last
+        pruned = jnp.zeros((C,), bool)
+        ptheta = jnp.full((C,), INF, VALUE_DTYPE)
+        pruned_cache_inexact = jnp.zeros((C,), bool)
+        if cache_tab is not None:
+            dslice = lambda a: jax.lax.dynamic_index_in_dim(a, i + 1, 0, keepdims=False)
+            tk = dslice(cache_tab["keys"])  # [T, K]
+            tv = dslice(cache_tab["vals"])  # [T]
+            tm = dslice(cache_tab["valid"])  # [T]
+            eq = jnp.all(slot_keys[:, None, :] == tk[None, :, :], axis=2) & tm[None, :]
+            hit = jnp.any(eq, axis=1)
+            cth = jnp.max(jnp.where(eq, tv[None, :], NEG_INF), axis=1).astype(VALUE_DTYPE)
+            pc = slot_valid & hit & (slot_val <= cth) & filters_on
+            pruned |= pc
+            ptheta = jnp.where(pc, jnp.minimum(ptheta, cth), ptheta)
+            # parents of a cache-pruned INEXACT node join the frontier
+            # cutset (clean.rs:586-606 visits pruned nodes too)
+            pruned_cache_inexact = pc & ~slot_exact
+        if use_dom:
+            s_dkey = v_dkey(slot_state)  # [C, KK]
+            s_dcoord = v_dcoord(slot_state)  # [C, CC]
+        if use_dom_snap:
+            dslice = lambda a: jax.lax.dynamic_index_in_dim(a, i + 1, 0, keepdims=False)
+            dk = dslice(dom_tab["keys"])  # [T, KK]
+            dc = dslice(dom_tab["coords"])  # [T, CC]
+            dv = dslice(dom_tab["vals"])  # [T]
+            dm = dslice(dom_tab["valid"])  # [T]
+            km = jnp.all(s_dkey[:, None, :] == dk[None, :, :], axis=2) & dm[None, :]
+            ge = jnp.all(dc[None, :, :] >= s_dcoord[:, None, :], axis=2)
+            eqc = jnp.all(dc[None, :, :] == s_dcoord[:, None, :], axis=2)
+            # entry dominates node per partial_cmp (dominance.rs:57-79):
+            # >= on every coordinate (value included when use_value) with
+            # at least one strict; overall equality is NOT dominance
+            if dom.use_value:
+                dominates = (
+                    km & ge & (dv[None, :] >= slot_val[:, None])
+                    & ~(eqc & (dv[None, :] == slot_val[:, None]))
+                )
+                contrib = jnp.where(eqc, dv[None, :] - 1, dv[None, :])
+                dthr = jnp.min(
+                    jnp.where(dominates, contrib, INF), axis=1
+                ).astype(VALUE_DTYPE)
+            else:
+                dominates = km & ge & ~eqc
+                dthr = jnp.full((C,), INF, VALUE_DTYPE)
+            pd = slot_valid & slot_exact & jnp.any(dominates, axis=1) & filters_on
+            pruned |= pd
+            ptheta = jnp.where(pd, jnp.minimum(ptheta, dthr), ptheta)
+        surv = slot_valid & ~pruned
+        U = jnp.sum(surv.astype(I32))
 
         # --- squash: restrict (clean.rs:802-815) / relax (clean.rs:817-876)
         # The reference only ever squashes a layer it is about to expand
@@ -340,7 +450,6 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         # squashing there only happens on true buffer overflow (> W), where
         # merging (relaxed) / truncating (restricted) keeps soundness.
         j = i + 1 - root_depth  # DD-local index of the layer being produced
-        is_last = i == (n - 1)
         cap = jnp.where(is_last, W, eff_width)
         if comp == CompilationType.RESTRICTED:
             need_restrict = U > cap
@@ -354,8 +463,10 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
 
         slot_rank = v_rank(slot_state)  # [C, R]
         R = slot_rank.shape[1]
-        inval2 = (~slot_valid).astype(I32)
-        # promising first, invalid last; next-layer data rides as payload
+        # promising first, pruned/invalid last (pruned nodes leave the
+        # layer exactly like the reference's curr_l.retain)
+        inval2 = (~surv).astype(I32)
+        # next-layer data rides as payload
         q_keys = (inval2, -slot_val) + tuple(-slot_rank[:, r] for r in range(R))
         slot_cols, _ = _tree_to_cols(slot_state)
         # pack (bp+1, exact, bs) into one operand: bp+1 < 2^21 (buffer
@@ -377,11 +488,11 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         so_bs = (so_pk >> 22 & 1).astype(bool)
         so_state = _tree_from_cols(state_spec, sorted2[nq + 3 :])
         so_valid = sorted2[0] == 0
-        rank_of = seg_ops.onehot_scatter_i32(order2, idxs, C)
+        rank_of = seg_ops.scatter_i32(order2, idxs, C)
 
         limit = jnp.where(need_relax, cap - 1, jnp.where(need_restrict, cap, C))
-        kept = slot_valid & (rank_of < limit)
-        merge_mask = slot_valid & ~kept & need_relax
+        kept = surv & (rank_of < limit)
+        merge_mask = surv & ~kept & need_relax
 
         # merged node (only meaningful when need_relax)
         merged_state = rlx.merge(rdata, slot_state, merge_mask)
@@ -391,20 +502,25 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         recycled_slot = jnp.argmax(eq_kept)
         saved_slot = order2[jnp.clip(limit, 0, C - 1)]  # best of the merge set
         # recycled: the reference keeps eff_width nodes incl. the saved one
-        kept2 = kept | (recycled & (idxs == saved_slot) & slot_valid)
+        kept2 = kept | (recycled & (idxs == saved_slot) & surv)
         merge_final = merge_mask & ~(recycled & (idxs == saved_slot))
         merged_pos = jnp.where(recycled, rank_of[recycled_slot], limit)
 
         # --- edge remap + relaxed costs ------------------------------------
-        # one gather of a packed (rank, kept, merge) code per candidate
+        # one gather of a packed (rank, kept, merge, pruned) code per
+        # candidate
         slot_code = (
             rank_of
             + jnp.where(kept2, 1 << 27, 0)
             + jnp.where(merge_final, 1 << 28, 0)
+            + jnp.where(pruned, 1 << 29, 0)
+            + jnp.where(pruned_cache_inexact, 1 << 30, 0)
         )
-        e_code = seg_ops.onehot_take_i32(slot_code, cand_slot)
+        e_code = seg_ops.take_i32(slot_code, cand_slot)
         e_kept = f_valid & (e_code & (1 << 27) > 0)
         e_merge = f_valid & (e_code & (1 << 28) > 0) & need_relax
+        e_pruned = f_valid & (e_code & (1 << 29) > 0)
+        e_pci = f_valid & (e_code & (1 << 30) > 0)
         e_rank = e_code & ((1 << 27) - 1)
         if comp == CompilationType.RELAXED:
             # src is the parent's state, dst the original child state
@@ -422,6 +538,19 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
             e_kept, e_rank, jnp.where(e_merge, merged_pos, -1)
         ).astype(I32)
         e_valid = f_valid & (e_child >= 0)
+
+        # theta of filter-pruned children propagates to parents here
+        # (the reference's "propagate even if pruned", clean.rs:502,522-528):
+        # per-parent min over its pruned-child edges of (theta - cost)
+        if cache_tab is not None or use_dom_snap:
+            cand_ptheta = seg_ops.take_i32(ptheta, cand_slot)
+            ep_contrib = jnp.where(
+                e_pruned, sat_sub(cand_ptheta, f_cost), INF
+            )
+            eptheta = jnp.min(ep_contrib.reshape(W, D), axis=1)
+        else:
+            eptheta = jnp.full((W,), INF, VALUE_DTYPE)
+        y_layer["eptheta"] = eptheta
 
         # merged node aggregates (append_edge_to! semantics, clean.rs:199-219)
         m_edge_val = jnp.where(e_merge, sat_add(jnp.repeat(c_val, D), e_cost), NEG_INF)
@@ -479,10 +608,60 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         nl_val = jnp.where(q_valid, nl_val, NEG_INF)
         nl_exact = nl_exact & q_valid
         nl_relaxed = nl_relaxed & q_valid
+
+        # ---- within-layer dominance (clean.rs:689-708, the layer-local
+        # part): the reference inserts every exact node of the layer into
+        # the store as it filters, so nodes of the SAME layer prune each
+        # other.  The snapshot above cannot see them; this pairwise pass
+        # over the materialized [W] rows does.  Pruned rows stay in the
+        # buffer masked-invalid, carrying their threshold as theta (they
+        # still consume width — a sound divergence from the reference,
+        # which frees the slot).  Transitivity of strict dominance makes
+        # the parallel check equivalent to the reference's sequential
+        # insert-then-check order; thresholds are taken from MAXIMAL
+        # dominators only, matching what the sequential front retains.
+        if use_dom:
+            w_dkey = v_dkey(nl_state)  # [W, KK]
+            w_dcoord = v_dcoord(nl_state)  # [W, CC]
+            cand = q_valid & nl_exact
+            km_ij = jnp.all(w_dkey[:, None, :] == w_dkey[None, :, :], axis=2)
+            ge_ij = jnp.all(w_dcoord[:, None, :] >= w_dcoord[None, :, :], axis=2)
+            eq_ij = jnp.all(w_dcoord[:, None, :] == w_dcoord[None, :, :], axis=2)
+            both = cand[:, None] & cand[None, :]
+            if dom.use_value:
+                dom_ij = (  # [i, j]: i strictly dominates j
+                    both & km_ij & ge_ij
+                    & (nl_val[:, None] >= nl_val[None, :])
+                    & ~(eq_ij & (nl_val[:, None] == nl_val[None, :]))
+                )
+            else:
+                dom_ij = both & km_ij & ge_ij & ~eq_ij
+            wl_dominated = jnp.any(dom_ij, axis=0)
+            if dom.use_value:
+                maximal = cand & ~wl_dominated
+                contrib_ij = jnp.where(eq_ij, nl_val[:, None] - 1, nl_val[:, None])
+                wl_thr = jnp.min(
+                    jnp.where(dom_ij & maximal[:, None], contrib_ij, INF), axis=0
+                ).astype(VALUE_DTYPE)
+            else:
+                wl_thr = jnp.full((W,), INF, VALUE_DTYPE)
+            wl_pruned = wl_dominated & filters_on
+            wl_ptheta = jnp.where(wl_pruned, wl_thr, INF).astype(VALUE_DTYPE)
+        else:
+            wl_pruned = jnp.zeros((W,), bool)
+            wl_ptheta = jnp.full((W,), INF, VALUE_DTYPE)
+
+        exact_for_hic = nl_exact  # wl-pruned rows were exact: not "inexact
+        # children" for the frontier cutset (clean.rs:593-602)
+        q_valid = q_valid & ~wl_pruned
+        nl_val = jnp.where(q_valid, nl_val, NEG_INF)
+        nl_exact = nl_exact & q_valid
+        nl_relaxed = nl_relaxed & q_valid
+
         # exact-best-path flag, computed incrementally instead of a scalar
         # backward walk (clean.rs:643-655): true iff the best in-edge chain
         # hits an exact node before any relaxed one
-        par_ebp = seg_ops.onehot_take_bool(c_ebp, jnp.clip(nl_bp, 0, W - 1)) & (nl_bp >= 0)
+        par_ebp = seg_ops.take_bool(c_ebp, jnp.clip(nl_bp, 0, W - 1)) & (nl_bp >= 0)
         nl_ebp = (nl_exact | (~nl_relaxed & par_ebp)) & q_valid
 
         # LEL bookkeeping (clean.rs:796-800): first squashed layer is j,
@@ -494,8 +673,10 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         # exactness is at hand (clean.rs:586-606): does this node have an
         # inexact child?  Doing it in-scan avoids stacking a [n, W, D]
         # gather in finalization.
-        ch_inexact = e_valid & ~nl_exact[jnp.clip(e_child, 0, W - 1)]
-        has_inexact_child = jnp.any(ch_inexact.reshape(W, D), axis=1)
+        ch_inexact = e_valid & ~exact_for_hic[jnp.clip(e_child, 0, W - 1)]
+        has_inexact_child = jnp.any(
+            (ch_inexact | e_pci).reshape(W, D), axis=1
+        )
         y_layer["hic"] = has_inexact_child
 
         # edge planes stay FLAT [C]: a stacked [n, W, D] tensor would tile-
@@ -510,7 +691,7 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         nxt = dict(
             state=nl_state, val=nl_val, mask=q_valid, exact=nl_exact,
             relaxed=nl_relaxed, bp=nl_bp, bd=nl_bd, bs=nl_bs & q_valid,
-            ebp=nl_ebp,
+            ebp=nl_ebp, wlp=wl_pruned, wlth=wl_ptheta,
         )
         return (nxt, assigned, lel, expanded, overflow), (y_layer, y_edges, var)
 
@@ -564,18 +745,27 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
     bx_value = jnp.where(has_ebp, best_value, bx_value)
 
     # --- cutset + above-cutset planes (clean.rs:547-606) -------------------
+    # Within-layer dominance-pruned rows (WLP) count as above-cutset so
+    # their thresholds reach the cache (the reference's pruned nodes stay
+    # in the layer ranges and hit _maybe_update_cache, clean.rs:519,534-545)
+    WLP = cat(ys["wlp"], term["wlp"])
+    WLTH = cat(ys["wlth"], term["wlth"])
     do_cutset = jnp.asarray(comp == CompilationType.RELAXED) | is_exact_dd
     layer_idx = jnp.arange(n + 1, dtype=I32)[:, None]
     if spec.cutset_type == CutsetType.LAST_EXACT_LAYER:
         lel_eff = lel  # == n+1 when never squashed
-        above = S_mask & (layer_idx <= lel_eff) & do_cutset
+        above = (S_mask | WLP) & (layer_idx <= lel_eff) & do_cutset
         cutflag = S_mask & (layer_idx == lel_eff) & do_cutset
+        # a pruned node sitting ON the LEL would be cutset-flagged by the
+        # reference (never drained — unmarked — but recorded unexplored)
+        wl_unexplored = WLP & (layer_idx == lel_eff)
     else:  # FRONTIER (clean.rs:586-606)
-        above = S_mask & S_exact & do_cutset
+        above = ((S_mask & S_exact) | WLP) & do_cutset
         # has-inexact-child was computed inside the forward scan (y "hic")
         cutflag = jnp.concatenate(
             [S_exact[:n] & S_mask[:n] & ys["hic"], jnp.zeros((1, W), bool)], axis=0
         ) & do_cutset
+        wl_unexplored = jnp.zeros((n + 1, W), bool)
 
     # --- local bounds, bottom-up reverse scan (clean.rs:448-475) -----------
     do_locb = jnp.asarray(comp == CompilationType.RELAXED) & ~is_exact_dd
@@ -604,6 +794,7 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         jnp.where(mk_n, vb_n, NEG_INF),
         jnp.where(hs_n & term_mask, th_n, INF),
         best_known,
+        ep_theta=ys["eptheta"], wl_pruned=WLP[:n], wl_ptheta=WLTH[:n],
     )
     value_bot = cat(vb_stack, vb_n)
     marked = cat(mk_stack, mk_n)
@@ -618,32 +809,47 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
     # [n+1, K, W] so the big W dim is trailing (TPU tile padding).
     S_keys = jnp.swapaxes(jax.vmap(v_pack)(S_state), -1, -2)
 
-    return dict(
+    out = dict(
         state=S_state, value=S_val, mask=S_mask, exact=S_exact, relaxed=S_relaxed,
         keys=S_keys,
         rub=S_rub, bp=S_bp, bd=S_bd, bs=S_bs, var_of=var_of,
         value_bot=value_bot, marked=marked, theta=theta, has_theta=has_theta,
         above=above, cutflag=cutflag,
+        wl_pruned=WLP, wl_unexplored=wl_unexplored,
         lel=lel, is_exact_dd=is_exact_dd, has_ebp=has_ebp,
         feasible=feasible, best_slot=best_slot, best_value=best_value,
         bx_feasible=bx_feasible, bx_slot=bx_slot, bx_value=bx_value,
         expanded=expanded, overflow=overflow, root_depth=root_depth,
     )
+    if use_dom:
+        # dominance key/coord planes for the solver's store absorption
+        # ([n+1, KK, W] / [n+1, CC, W], big W dim trailing)
+        out["dkey"] = jnp.swapaxes(jax.vmap(v_dkey)(S_state), -1, -2)
+        out["dcoord"] = jnp.swapaxes(jax.vmap(v_dcoord)(S_state), -1, -2)
+    return out
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _compile_jit(spec, datas, root_state, root_value, root_depth, best_lb, eff_width, rps):
+def _compile_jit(spec, datas, root_state, root_value, root_depth, best_lb, eff_width,
+                 rps, cache_tab=None, dom_tab=None):
     return compile_kernel(
-        spec, datas, root_state, root_value, root_depth, best_lb, eff_width, rps
+        spec, datas, root_state, root_value, root_depth, best_lb, eff_width, rps,
+        cache_tab=cache_tab, dom_tab=dom_tab,
     )
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _compile_vjit(spec, datas, root_states, root_values, root_depths, best_lb,
-                  eff_widths, rpss):
-    """K-lane batched compilation (the B&B superstep workhorse)."""
+                  eff_widths, rpss, cache_tab=None, dom_tab=None):
+    """K-lane batched compilation (the B&B superstep workhorse).
+
+    The filter snapshot tables are shared by every lane (closed over, not
+    vmapped): one HBM copy, K readers."""
     return jax.vmap(
-        lambda rs, rv, rd, ew, ps: compile_kernel(spec, datas, rs, rv, rd, best_lb, ew, ps)
+        lambda rs, rv, rd, ew, ps: compile_kernel(
+            spec, datas, rs, rv, rd, best_lb, ew, ps,
+            cache_tab=cache_tab, dom_tab=dom_tab,
+        )
     )(root_states, root_values, root_depths, eff_widths, rpss)
 
 
@@ -761,15 +967,20 @@ class CompiledDD:
             cur_l[act] -= 1
         return vals, pset
 
-    def cutset_batch(self):
+    def cutset_batch(self, with_dom=False):
         """Vectorized drain_cutset: (keys, depths, values, ubs, path_vals,
-        path_set) numpy arrays for every marked cutset node."""
+        path_set[, dom_keys, dom_coords]) numpy arrays for every marked
+        cutset node."""
+        self._check_overflow()
         n = self.n
         if not self.o["feasible"]:
             K = self.o["keys"].shape[1]
             z = np.zeros(0, np.int32)
-            return (np.zeros((0, K), np.int32), z, z, z,
-                    np.zeros((0, n), np.int32), np.zeros((0, n), bool))
+            out = (np.zeros((0, K), np.int32), z, z, z,
+                   np.zeros((0, n), np.int32), np.zeros((0, n), bool))
+            if with_dom:
+                out = out + (np.zeros((0, 1), np.int32), np.zeros((0, 1), np.int32))
+            return out
         sel = self.o["cutflag"] & self.o["marked"]
         layers, slots = np.nonzero(sel)
         values = self.o["value"][layers, slots].astype(np.int64)
@@ -778,18 +989,27 @@ class CompiledDD:
         ubs = np.minimum(np.minimum(rub, locb), int(self.o["best_value"]))
         keys = self.o["keys"][layers, :, slots]
         vals, pset = self._paths_batch(layers, slots)
-        return (keys, layers.astype(np.int32), values.astype(np.int32),
-                ubs.astype(np.int32), vals, pset)
+        out = (keys, layers.astype(np.int32), values.astype(np.int32),
+               ubs.astype(np.int32), vals, pset)
+        if with_dom:
+            out = out + (
+                self.o["dkey"][layers, :, slots] if "dkey" in self.o else None,
+                self.o["dcoord"][layers, :, slots] if "dcoord" in self.o else None,
+            )
+        return out
 
     def cache_batch(self):
         """Vectorized cache_updates: (depths, keys, thetas, explored)."""
         sel = self.o["has_theta"] & self.o["above"]
         layers, slots = np.nonzero(sel)
+        unexplored = self.o["cutflag"][layers, slots]
+        if "wl_unexplored" in self.o:
+            unexplored = unexplored | self.o["wl_unexplored"][layers, slots]
         return (
             layers.astype(np.int32),
             self.o["keys"][layers, :, slots],
             self.o["theta"][layers, slots],
-            (~self.o["cutflag"][layers, slots]).astype(np.uint8),
+            (~unexplored).astype(np.uint8),
         )
 
     def cache_updates(self):
@@ -800,24 +1020,45 @@ class CompiledDD:
         for layer, slot in idx:
             layer, slot = int(layer), int(slot)
             state = self.node_state(layer, slot)
+            unexplored = bool(self.o["cutflag"][layer, slot]) or bool(
+                self.o.get("wl_unexplored", np.zeros(1, bool))[layer, slot]
+                if "wl_unexplored" in self.o else False
+            )
             yield (
                 layer,
                 state_key_bytes(state),
                 int(self.o["theta"][layer, slot]),
-                not bool(self.o["cutflag"][layer, slot]),
+                not unexplored,
             )
+
+    def exact_nodes_batch(self):
+        """(depths, dom_keys, dom_coords, values) of every live exact node —
+        the solver feeds these to the global dominance store, mirroring the
+        insertions _filter_with_dominance performs on every layer it
+        touches (clean.rs:697).  Requires the spec's dominance hooks."""
+        sel = self.o["exact"] & self.o["mask"]
+        layers, slots = np.nonzero(sel)
+        return (
+            layers.astype(np.int32),
+            self.o["dkey"][layers, :, slots],
+            self.o["dcoord"][layers, :, slots],
+            self.o["value"][layers, slots],
+        )
 
 
 class DDCompiler:
     """Entry point: compiles restricted/relaxed/exact DDs for a model."""
 
     def __init__(self, bundle: ModelBundle, width: int,
-                 cutset_type: CutsetType = CutsetType.LAST_EXACT_LAYER):
+                 cutset_type: CutsetType = CutsetType.LAST_EXACT_LAYER,
+                 dominance=None):
         self.bundle = bundle
         self.width = width
         self.cutset_type = cutset_type
+        self.dominance = dominance
         self._specs = {
-            ct: DDSpec(bundle, width, ct, cutset_type) for ct in CompilationType
+            ct: DDSpec(bundle, width, ct, cutset_type, dominance)
+            for ct in CompilationType
         }
 
     def _root_args(self, sub: SubProblem):
@@ -825,17 +1066,18 @@ class DDCompiler:
         return state, sub.value, sub.depth
 
     def compile(self, comp_type: CompilationType, sub: SubProblem,
-                best_lb: int, eff_width: int) -> CompiledDD:
+                best_lb: int, eff_width: int, cache_tab=None,
+                dom_tab=None) -> CompiledDD:
         spec = self._specs[comp_type]
         rs, rv, rd = self._root_args(sub)
         out = _compile_jit(
             spec, self.bundle.datas, rs, rv, rd, best_lb, eff_width,
-            jnp.asarray(sub.path_set),
+            jnp.asarray(sub.path_set), cache_tab=cache_tab, dom_tab=dom_tab,
         )
         return CompiledDD(spec, out, sub)
 
     def compile_batch(self, comp_type: CompilationType, subs, best_lb: int,
-                      eff_widths) -> list:
+                      eff_widths, cache_tab=None, dom_tab=None) -> list:
         """Compile K DDs in one vmapped XLA call; returns per-lane views."""
         spec = self._specs[comp_type]
         states = jax.tree_util.tree_map(
@@ -847,7 +1089,8 @@ class DDCompiler:
         widths = jnp.asarray(eff_widths, I32)
         psets = jnp.asarray(np.stack([s.path_set for s in subs]))
         out = _compile_vjit(
-            spec, self.bundle.datas, states, values, depths, best_lb, widths, psets
+            spec, self.bundle.datas, states, values, depths, best_lb, widths,
+            psets, cache_tab=cache_tab, dom_tab=dom_tab,
         )
         outs = jax.tree_util.tree_map(np.asarray, out)
         views = []

@@ -34,6 +34,7 @@ DUMMY = -1
 
 
 class Alp(Problem):
+    _trace_statics = ('nb_classes', 'nb_runways')
     name = "alp"
 
     def __init__(self, nb_classes, nb_runways, target, latest, classes, separation):
@@ -178,14 +179,14 @@ class AlpDominance(Dominance):
 
     use_value = True
 
-    def key(self, state):
-        return (
-            np.asarray(state["rem"], np.int64).tobytes(),
-            np.asarray(state["rw_class"], np.int64).tobytes(),
-        )
+    def key_cols(self, state):
+        return jnp.concatenate([
+            jnp.ravel(state["rem"]).astype(jnp.int32),
+            jnp.ravel(state["rw_class"]).astype(jnp.int32),
+        ])
 
-    def coords(self, state):
-        return -np.asarray(state["rw_time"], np.int64)
+    def coord_cols(self, state):
+        return -jnp.ravel(state["rw_time"]).astype(jnp.int32)
 
 
 def read_instance(path: str) -> Alp:

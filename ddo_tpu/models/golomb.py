@@ -31,6 +31,7 @@ KNOWN_OPTIMAL_COSTS = np.array(
 
 
 class Golomb(Problem):
+    _trace_statics = ('n', 'P')
     name = "golomb"
 
     def __init__(self, n: int):

@@ -148,11 +148,13 @@ class KPDominance(Dominance):
 
     use_value = True
 
-    def key(self, state):
-        return 0  # depth is already the store's partition key
+    def key_cols(self, state):
+        # depth is already the store's partition key: every same-depth
+        # state is comparable
+        return jnp.zeros((0,), jnp.int32)
 
-    def coords(self, state):
-        return np.asarray([int(np.asarray(state["capacity"]))], np.int64)
+    def coord_cols(self, state):
+        return jnp.asarray(state["capacity"], jnp.int32).reshape(1)
 
 
 def read_instance(path: str) -> Knapsack:

@@ -38,6 +38,7 @@ def _lcs_table(a, b):
 
 
 class Lcs(Problem):
+    _trace_statics = ('n_strings', 'n_chars')
     name = "lcs"
 
     def __init__(self, strings, n_chars: int):
@@ -157,11 +158,11 @@ class LcsDominance(Dominance):
 
     use_value = True
 
-    def key(self, state):
-        return int(np.asarray(state["pos"])[0])
+    def key_cols(self, state):
+        return jnp.asarray(state["pos"], jnp.int32)[:1]
 
-    def coords(self, state):
-        return -np.asarray(state["pos"], np.int64)
+    def coord_cols(self, state):
+        return -jnp.asarray(state["pos"], jnp.int32)
 
 
 def read_instance(path: str) -> Lcs:

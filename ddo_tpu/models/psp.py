@@ -63,6 +63,7 @@ def _greedy_mst_table(changeover):
 
 
 class Psp(Problem):
+    _trace_statics = ('n_items', 'horizon')
     name = "psp"
 
     def __init__(self, horizon, stocking, changeover, demands):

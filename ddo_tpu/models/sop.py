@@ -30,6 +30,7 @@ I32 = jnp.int32
 
 
 class Sop(Problem):
+    _trace_statics = ('nb_jobs',)
     name = "sop"
 
     def __init__(self, distances):

@@ -220,14 +220,14 @@ class TsptwDominance(Dominance):
 
     use_value = True
 
-    def key(self, state):
-        return (
-            np.asarray(state["pos"], np.uint32).tobytes(),
-            np.asarray(state["must"], np.uint32).tobytes(),
-        )
+    def key_cols(self, state):
+        return jnp.concatenate([
+            jnp.ravel(state["pos"]).astype(jnp.int32),
+            jnp.ravel(state["must"]).astype(jnp.int32),
+        ])
 
-    def coords(self, state):
-        return np.zeros(0, np.int64)
+    def coord_cols(self, state):
+        return jnp.zeros((0,), jnp.int32)  # value-only comparison
 
 
 class TsptwWidth(WidthHeuristic):

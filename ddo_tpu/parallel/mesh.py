@@ -39,14 +39,19 @@ def make_mesh(devices=None, axis: str = "lanes") -> Mesh:
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _sharded_superstep(spec, datas, root_states, root_values, root_depths,
-                       actives, best_lb, eff_widths, rpss):
+                       actives, best_lb, eff_widths, rpss,
+                       cache_tab=None, dom_tab=None):
     """One frontier superstep over sharded lanes.
 
     Returns the full per-lane DD outputs plus globally-reduced incumbent
     statistics (XLA lowers the reductions over the sharded lane axis to
-    ICI collectives)."""
+    ICI collectives).  Filter snapshot tables are replicated (read-only)
+    across the mesh."""
     out = jax.vmap(
-        lambda rs, rv, rd, ew, ps: compile_kernel(spec, datas, rs, rv, rd, best_lb, ew, ps)
+        lambda rs, rv, rd, ew, ps: compile_kernel(
+            spec, datas, rs, rv, rd, best_lb, ew, ps,
+            cache_tab=cache_tab, dom_tab=dom_tab,
+        )
     )(root_states, root_values, root_depths, eff_widths, rpss)
     lane_best = jnp.where(
         actives & out["bx_feasible"], out["bx_value"], NEG_INF
@@ -59,7 +64,8 @@ def _sharded_superstep(spec, datas, root_states, root_values, root_depths,
 class MeshCompiler:
     """Drop-in for DDCompiler.compile_batch that shards lanes over a mesh."""
 
-    def __init__(self, bundle, width, cutset_type, mesh: Mesh, axis: str = "lanes"):
+    def __init__(self, bundle, width, cutset_type, mesh: Mesh, axis: str = "lanes",
+                 dominance=None):
         from ddo_tpu.engine.mdd import DDSpec
         from ddo_tpu.core.types import CompilationType
 
@@ -68,13 +74,15 @@ class MeshCompiler:
         self.axis = axis
         self.lanes = mesh.devices.size
         self._specs = {
-            ct: DDSpec(bundle, width, ct, cutset_type) for ct in CompilationType
+            ct: DDSpec(bundle, width, ct, cutset_type, dominance)
+            for ct in CompilationType
         }
 
     def _shard(self, arr):
         return jax.device_put(arr, NamedSharding(self.mesh, P(self.axis)))
 
-    def superstep(self, comp_type, subs, best_lb, eff_widths):
+    def superstep(self, comp_type, subs, best_lb, eff_widths,
+                  cache_tab=None, dom_tab=None):
         """Compile len(subs) DDs, padded/sharded to the mesh lane count."""
         from ddo_tpu.engine.mdd import CompiledDD
 
@@ -98,7 +106,7 @@ class MeshCompiler:
         spec = self._specs[comp_type]
         out, global_best, total_expanded = _sharded_superstep(
             spec, self.bundle.datas, states, values, depths, actives,
-            best_lb, widths, psets,
+            best_lb, widths, psets, cache_tab=cache_tab, dom_tab=dom_tab,
         )
         outs = jax.tree_util.tree_map(np.asarray, out)
         views = []
@@ -107,9 +115,13 @@ class MeshCompiler:
             views.append(CompiledDD(spec, lane, sub))
         return views, int(global_best), int(total_expanded)
 
-    def compile_batch(self, comp_type, subs, best_lb, eff_widths):
+    def compile_batch(self, comp_type, subs, best_lb, eff_widths,
+                      cache_tab=None, dom_tab=None):
         """DDCompiler.compile_batch-compatible entry (drop-in for solvers)."""
-        views, _, _ = self.superstep(comp_type, subs, best_lb, eff_widths)
+        views, _, _ = self.superstep(
+            comp_type, subs, best_lb, eff_widths,
+            cache_tab=cache_tab, dom_tab=dom_tab,
+        )
         return views
 
 
@@ -127,6 +139,7 @@ def MeshSolver(bundle, mesh: Mesh = None, batch: int = None, **kw):
     batch = batch or int(mesh.devices.size)
     solver = SequentialSolver(bundle, batch=batch, **kw)
     solver.compiler = MeshCompiler(
-        bundle, solver.compiler.width, solver.compiler.cutset_type, mesh
+        bundle, solver.compiler.width, solver.compiler.cutset_type, mesh,
+        dominance=solver.compiler.dominance,
     )
     return solver

@@ -2,14 +2,21 @@
 
 Host-side counterpart of:
   * trait `Dominance` incl. `partial_cmp` (abstraction/dominance.rs:37-99);
-  * `SimpleDominanceChecker` (implementation/dominance/simple.rs:37-116):
-    per-depth keyed fronts of mutually non-dominated (state, value) entries;
+  * `SimpleDominanceChecker` (implementation/dominance/simple.rs:37-116);
   * `EmptyDominanceChecker` (implementation/dominance/empty.rs:25-48).
 
-`is_dominated_or_insert` reproduces simple.rs:71-111: a newly seen state is
-checked against the front for its key; entries it dominates (strictly, or
-equal) are evicted; if it is dominated the pruning threshold is the minimum
-dominating value (minus one when only the value differs).
+Store design (re-designed for batch absorption, not a port): per depth, an
+APPEND-ONLY array of (key_cols, coord_cols, value) rows with capacity-
+bounded keep-top-by-value compaction.  The reference's front EVICTS
+entries dominated by newer ones (simple.rs:95-97); keeping stale entries
+is sound by transitivity — an evicted entry was dominated-or-equalled by
+a stored one, so anything it strictly dominates is also strictly
+dominated by its evictor (and the evictor's value is >= under use_value,
+so thresholds derived from stale entries are conservative).  Dropping
+rows at compaction only weakens pruning.
+
+The same arrays feed the per-depth `snapshot()` tables the engine uses
+for IN-COMPILATION dominance filtering (clean.rs:689-708).
 """
 
 from __future__ import annotations
@@ -20,7 +27,6 @@ from typing import Optional
 import numpy as np
 
 from ddo_tpu.core.problem import Dominance
-from ddo_tpu.core.types import SubProblem
 from ddo_tpu.utils.num import INF
 
 
@@ -30,12 +36,29 @@ class DominanceCheckResult:
     threshold: Optional[int]
 
 
+def _bucket(n: int, lo: int = 64) -> int:
+    """Quantized to {64, 512} — see cache._bucket."""
+    return lo if n <= lo else 512
+
+
 class DominanceChecker:
+    dom: Optional[Dominance] = None
+
     def clear_layer(self, depth: int):
         pass
 
     def is_dominated_or_insert(self, state, key_bytes, depth, value) -> DominanceCheckResult:
         return DominanceCheckResult(False, None)
+
+    def is_dominated(self, state, depth, value) -> bool:
+        """Check-only probe (no insertion)."""
+        return False
+
+    def insert_batch(self, depths, keys, coords, values):
+        pass
+
+    def snapshot(self, cap: int = 512):
+        return None
 
 
 class EmptyDominanceChecker(DominanceChecker):
@@ -43,60 +66,179 @@ class EmptyDominanceChecker(DominanceChecker):
 
 
 class SimpleDominanceChecker(DominanceChecker):
+    """Keyed per-depth dominance store (simple.rs:37-116) over dense
+    (key_cols, coord_cols, value) rows."""
+
+    #: per-depth row capacity (compaction keeps the top half by value)
+    STORE_CAP = 4096
+
     def __init__(self, dominance: Dominance, nb_variables: int):
         self.dom = dominance
-        self._by_depth = [dict() for _ in range(nb_variables + 1)]
+        n1 = nb_variables + 1
+        self._keys = [None] * n1   # np.int32 [cap, KK]
+        self._coords = [None] * n1  # np.int32 [cap, CC]
+        self._vals = [None] * n1    # np.int64 [cap]
+        self._count = [0] * n1
+        self._snapshot = None
+
+    # ------------------------------------------------------------- plumbing
+    def _cols(self, state):
+        """Host evaluation of the device hooks for a single state."""
+        kc = self.dom.key_cols(state)
+        if kc is None:
+            return None, None
+        return (
+            np.atleast_1d(np.asarray(kc, np.int32)),
+            np.atleast_1d(np.asarray(self.dom.coord_cols(state), np.int32)),
+        )
 
     def clear_layer(self, depth):
-        self._by_depth[depth].clear()
+        self._count[depth] = 0
+        self._snapshot = None
 
-    def _partial_cmp(self, ca, va, cb, vb):
-        """Returns (ordering, only_val_diff) or None — dominance.rs:57-79."""
-        ordering = 0
-        for a, b in zip(ca, cb):
-            if a > b:
-                if ordering < 0:
-                    return None
-                ordering = 1
-            elif a < b:
-                if ordering > 0:
-                    return None
-                ordering = -1
+    def _ensure(self, d, KK, CC):
+        if self._keys[d] is None:
+            cap = self.STORE_CAP
+            self._keys[d] = np.zeros((cap, KK), np.int32)
+            self._coords[d] = np.zeros((cap, CC), np.int32)
+            self._vals[d] = np.zeros(cap, np.int64)
+
+    def insert_batch(self, depths, keys, coords, values):
+        """Bulk insertion (CompiledDD.exact_nodes_batch): mirrors the
+        per-layer insertions of _filter_with_dominance (clean.rs:697)."""
+        if len(depths) == 0:
+            return
+        self._snapshot = None
+        keys = np.atleast_2d(np.asarray(keys, np.int32))
+        coords = np.atleast_2d(np.asarray(coords, np.int32))
+        values = np.asarray(values, np.int64)
+        order = np.argsort(depths, kind="stable")
+        ds = np.asarray(depths)[order]
+        starts = np.flatnonzero(np.diff(ds, prepend=-1))
+        for s, e in zip(starts, list(starts[1:]) + [len(ds)]):
+            d = int(ds[s])
+            sel = order[s:e]
+            self._ensure(d, keys.shape[1], coords.shape[1])
+            self._append(d, keys[sel], coords[sel], values[sel])
+
+    def _append(self, d, k, c, v):
+        cap = self.STORE_CAP
+        cnt = self._count[d]
+        m = len(k)
+        if m > cap // 2:  # one giant batch: keep its strongest rows
+            sel = np.argpartition(-v, cap // 2 - 1)[: cap // 2]
+            k, c, v = k[sel], c[sel], v[sel]
+            m = len(k)
+        if cnt + m > cap:
+            keep = np.argpartition(-self._vals[d][:cnt], cap // 2 - 1)[: cap // 2]
+            self._keys[d][: len(keep)] = self._keys[d][keep]
+            self._coords[d][: len(keep)] = self._coords[d][keep]
+            self._vals[d][: len(keep)] = self._vals[d][keep]
+            cnt = len(keep)
+        self._keys[d][cnt : cnt + m] = k
+        self._coords[d][cnt : cnt + m] = c
+        self._vals[d][cnt : cnt + m] = v
+        self._count[d] = cnt + m
+
+    # ------------------------------------------------------------- checking
+    def _dominators(self, d, kcols, ccols, value):
+        """Bool mask over stored rows strictly dominating (k, c, value)
+        per partial_cmp (dominance.rs:57-79)."""
+        cnt = self._count[d]
+        if cnt == 0:
+            return None
+        sk = self._keys[d][:cnt]
+        sc = self._coords[d][:cnt]
+        sv = self._vals[d][:cnt]
+        km = np.all(sk == kcols[None, :], axis=1)
+        ge = np.all(sc >= ccols[None, :], axis=1)
+        eqc = np.all(sc == ccols[None, :], axis=1)
         if self.dom.use_value:
-            if va > vb:
-                if ordering < 0:
-                    return None
-                return (1, True) if ordering == 0 else (1, False)
-            if va < vb:
-                if ordering > 0:
-                    return None
-                return (-1, True) if ordering == 0 else (-1, False)
-        return (ordering, False)
+            return km & ge & (sv >= value) & ~(eqc & (sv == value)), sv, eqc
+        return km & ge & ~eqc, sv, eqc
+
+    def is_dominated(self, state, depth, value) -> bool:
+        kcols, ccols = self._cols(state)
+        if kcols is None:
+            return False
+        res = self._dominators(depth, kcols, ccols, int(value))
+        return res is not None and bool(res[0].any())
+
+    def is_dominated_batch(self, depths, keys, coords, values):
+        """Vectorized check-only probe over row batches: bool[M] mask of
+        strictly-dominated rows (no insertion)."""
+        M = len(depths)
+        out = np.zeros(M, bool)
+        keys = np.atleast_2d(np.asarray(keys, np.int32))
+        coords = np.atleast_2d(np.asarray(coords, np.int32))
+        for d in np.unique(np.asarray(depths)):
+            cnt = self._count[int(d)]
+            if cnt == 0:
+                continue
+            rows = np.flatnonzero(np.asarray(depths) == d)
+            sk = self._keys[int(d)][:cnt]
+            sc = self._coords[int(d)][:cnt]
+            sv = self._vals[int(d)][:cnt]
+            km = np.all(keys[rows][:, None, :] == sk[None, :, :], axis=2)
+            ge = np.all(sc[None, :, :] >= coords[rows][:, None, :], axis=2)
+            eqc = np.all(sc[None, :, :] == coords[rows][:, None, :], axis=2)
+            v = np.asarray(values)[rows, None]
+            if self.dom.use_value:
+                dominates = km & ge & (sv[None, :] >= v) & ~(eqc & (sv[None, :] == v))
+            else:
+                dominates = km & ge & ~eqc
+            out[rows] = dominates.any(axis=1)
+        return out
 
     def is_dominated_or_insert(self, state, key_bytes, depth, value):
-        key = self.dom.key(state)
-        if key is None:
+        """simple.rs:71-111 (minus eviction — see module docstring)."""
+        kcols, ccols = self._cols(state)
+        if kcols is None:
             return DominanceCheckResult(False, None)
-        front = self._by_depth[depth].setdefault(key, [])
-        coords = tuple(int(x) for x in np.asarray(self.dom.coords(state)).ravel())
-        dominated = False
-        threshold = INF
-        kept = []
-        for (oc, ov) in front:
-            cmp = self._partial_cmp(coords, value, oc, ov)
-            if cmp is None:
-                kept.append((oc, ov))
-                continue
-            ordering, only_val_diff = cmp
-            if ordering < 0:
-                dominated = True
+        res = self._dominators(depth, kcols, ccols, int(value))
+        if res is not None:
+            mask, sv, eqc = res
+            if mask.any():
                 if self.dom.use_value:
-                    threshold = min(threshold, ov - 1 if only_val_diff else ov)
-                kept.append((oc, ov))
-            # ordering >= 0: the stored entry is dominated/equal -> evict
-        if dominated:
-            self._by_depth[depth][key] = kept
-            return DominanceCheckResult(True, threshold if self.dom.use_value else None)
-        kept.append((coords, value))
-        self._by_depth[depth][key] = kept
+                    thr = int(np.min(np.where(eqc[mask], sv[mask] - 1, sv[mask])))
+                    return DominanceCheckResult(True, thr)
+                return DominanceCheckResult(True, None)
+        self._snapshot = None
+        self._ensure(depth, len(kcols), len(ccols))
+        self._append(
+            depth, kcols[None, :], ccols[None, :], np.asarray([value], np.int64)
+        )
         return DominanceCheckResult(False, None)
+
+    # ------------------------------------------------------------- snapshot
+    def snapshot(self, cap: int = 512):
+        """[n+1, T, ...] device tables for in-compilation filtering."""
+        if self._snapshot is not None:
+            return self._snapshot
+        counts = [min(c, cap) for c in self._count]
+        T = max(counts, default=0)
+        if T == 0:
+            return None
+        T = _bucket(T)
+        n1 = len(self._count)
+        KK = next(k.shape[1] for k in self._keys if k is not None)
+        CC = next(c.shape[1] for c in self._coords if c is not None)
+        keys = np.zeros((n1, T, KK), np.int32)
+        coords = np.zeros((n1, T, CC), np.int32)
+        vals = np.zeros((n1, T), np.int32)
+        valid = np.zeros((n1, T), bool)
+        for d in range(n1):
+            c = self._count[d]
+            if c == 0:
+                continue
+            if c > cap:
+                sel = np.argpartition(-self._vals[d][:c], cap - 1)[:cap]
+            else:
+                sel = np.arange(c)
+            m = len(sel)
+            keys[d, :m] = self._keys[d][sel]
+            coords[d, :m] = self._coords[d][sel]
+            vals[d, :m] = self._vals[d][sel].astype(np.int32)
+            valid[d, :m] = True
+        self._snapshot = dict(keys=keys, coords=coords, vals=vals, valid=valid)
+        return self._snapshot

@@ -39,7 +39,7 @@ from ddo_tpu.core.types import (
     root_subproblem,
 )
 from ddo_tpu.engine.mdd import DDCompiler
-from ddo_tpu.search.cache import Cache, EmptyCache
+from ddo_tpu.search.cache import Cache, EmptyCache, SimpleCache
 from ddo_tpu.search.dominance import DominanceChecker, EmptyDominanceChecker
 from ddo_tpu.search.fringe import Fringe, NoDupFringe
 from ddo_tpu.utils.num import INF, NEG_INF
@@ -95,6 +95,7 @@ class SequentialSolver:
         fringe: Optional[Fringe] = None,
         batch: int = 1,
         subproblem_ranking=None,
+        in_compile_filtering: bool = True,
     ):
         self.bundle = bundle
         problem = bundle.problem
@@ -108,9 +109,15 @@ class SequentialSolver:
         # round the static buffer up to a power of two (>=8): the effective
         # width is traced, so nearby width heuristics share one compilation
         W = max(8, 1 << (int(W) - 1).bit_length())
-        self.compiler = DDCompiler(bundle, W, cutset_type)
         self.cache = cache if cache is not None else EmptyCache()
         self.dominance = dominance if dominance is not None else EmptyDominanceChecker()
+        # in-compilation filtering (clean.rs:689-726): the engine prunes
+        # each layer against snapshots of the cache/dominance stores and
+        # applies within-layer dominance; disable to mimic the round-1
+        # enqueue-only behavior (or for A/B tests)
+        self.filtering = in_compile_filtering
+        dom_obj = self.dominance.dom if self.filtering else None
+        self.compiler = DDCompiler(bundle, W, cutset_type, dominance=dom_obj)
         self.cutoff = cutoff or NoCutoff()
         self.fringe = (
             fringe if fringe is not None else NoDupFringe(subproblem_ranking)
@@ -211,11 +218,25 @@ class SequentialSolver:
                     continue  # sequential.rs:337-339
                 if not self.cache.must_explore(node):
                     continue  # sequential.rs:341-343
+                # pop-time dominance probe: the reference catches a popped
+                # node that became dominated since its enqueue when the DD
+                # root layer passes _filter_with_dominance (clean.rs:674);
+                # our root layer is injected unfiltered, so probe here
+                if self.filtering and self.dominance.is_dominated(
+                    node.state, node.depth, node.value
+                ):
+                    continue
                 batch.append(node)
             if batch:
                 return batch
             if self.fringe.is_empty():
                 return None
+
+    def _filter_tables(self):
+        """Snapshot the cache/dominance stores as device filter tables."""
+        if not self.filtering:
+            return None, None
+        return self.cache.snapshot(), self.dominance.snapshot()
 
     def _process_batch(self, batch):
         """sequential.rs:329-389 vectorized over the batch."""
@@ -225,8 +246,10 @@ class SequentialSolver:
         best_lb = self.best_lb
 
         t0 = time.perf_counter()
+        cache_tab, dom_tab = self._filter_tables()
         restricted = self.compiler.compile_batch(
-            CompilationType.RESTRICTED, batch, best_lb, widths
+            CompilationType.RESTRICTED, batch, best_lb, widths,
+            cache_tab=cache_tab, dom_tab=dom_tab,
         )
         t1 = time.perf_counter()
         self.stats.restricted_s += t1 - t0
@@ -235,6 +258,7 @@ class SequentialSolver:
             self.expanded_nodes += int(dd.o["expanded"])
             self._maybe_update_best(dd)
             self._apply_cache_updates(dd)
+            self._absorb_dominance(dd)
             if not dd.is_exact():
                 need_relax.append(nd)
                 widths2.append(w)
@@ -243,8 +267,12 @@ class SequentialSolver:
         if not need_relax:
             return
         t2 = time.perf_counter()
+        # refreshed snapshots: the restricted pass may have strengthened
+        # both stores (mirrors the reference's always-current DashMaps)
+        cache_tab, dom_tab = self._filter_tables()
         relaxed = self.compiler.compile_batch(
-            CompilationType.RELAXED, need_relax, self.best_lb, widths2
+            CompilationType.RELAXED, need_relax, self.best_lb, widths2,
+            cache_tab=cache_tab, dom_tab=dom_tab,
         )
         t3 = time.perf_counter()
         self.stats.relaxed_s += t3 - t2
@@ -252,6 +280,7 @@ class SequentialSolver:
             self.expanded_nodes += int(dd.o["expanded"])
             self._maybe_update_best(dd)
             self._apply_cache_updates(dd)
+            self._absorb_dominance(dd)
             if not dd.is_exact():
                 self._enqueue_cutset(nd, dd)
         self.stats.host_s += time.perf_counter() - t3
@@ -266,21 +295,33 @@ class SequentialSolver:
     def _apply_cache_updates(self, dd):
         if isinstance(self.cache, EmptyCache):
             return
-        for depth, key, theta, explored in dd.cache_updates():
-            self.cache.update_threshold(key, depth, theta, explored)
+        self.cache.update_batch(*dd.cache_batch())
+
+    def _absorb_dominance(self, dd):
+        """Feed every live exact node to the global dominance store — the
+        insertions _filter_with_dominance performs per layer
+        (clean.rs:697), batched post-compile."""
+        if not self.filtering or self.dominance.dom is None:
+            return
+        if "dkey" in dd.o:
+            self.dominance.insert_batch(*dd.exact_nodes_batch())
 
     def _enqueue_cutset(self, node, dd):
-        """sequential.rs:403-416 + enqueue-time dominance filtering (the
-        engine-level analogue of clean.rs:689-708 applied to exact cutset
-        nodes entering the global frontier)."""
+        """sequential.rs:403-416.  Dominance insertion already happened in
+        _absorb_dominance (or, pre-filtering, happens here); dominated
+        nodes are skipped before touching the fringe."""
+        insert = not (self.filtering and self.dominance.dom is not None)
         for sub in dd.drain_cutset():
             sub.ub = min(node.ub, sub.ub)
             if sub.ub <= self.best_lb:
                 continue
-            res = self.dominance.is_dominated_or_insert(
-                sub.state, sub.key, sub.depth, sub.value
-            )
-            if res.dominated:
+            if insert:
+                res = self.dominance.is_dominated_or_insert(
+                    sub.state, sub.key, sub.depth, sub.value
+                )
+                if res.dominated:
+                    continue
+            elif self.dominance.is_dominated(sub.state, sub.depth, sub.value):
                 continue
             before = len(self.fringe)
             self.fringe.push(sub)
@@ -322,6 +363,7 @@ class NativeSolver:
         dominance: Optional[DominanceChecker] = None,
         cutoff: Optional[Cutoff] = None,
         batch: int = 8,
+        in_compile_filtering: bool = True,
     ):
         import jax
         import jax.numpy as jnp
@@ -338,9 +380,17 @@ class NativeSolver:
             problem.domain_size, self.width_heu.max_width(root)
         )
         W = max(8, 1 << (int(W) - 1).bit_length())
-        self.compiler = DDCompiler(bundle, W, cutset_type)
         self.use_cache = use_cache
         self.dominance = dominance
+        self.filtering = in_compile_filtering
+        dom_obj = dominance.dom if (dominance is not None and in_compile_filtering) else None
+        self.compiler = DDCompiler(bundle, W, cutset_type, dominance=dom_obj)
+        # host-side mirror of the native threshold cache feeding the
+        # in-compilation snapshot tables (the C++ cache stays authoritative
+        # for must_explore)
+        self._cache_tables = SimpleCache() if (use_cache and in_compile_filtering) else None
+        if self._cache_tables is not None:
+            self._cache_tables.initialize(problem)
         self.cutoff = cutoff or NoCutoff()
         self.batch = batch
 
@@ -357,10 +407,11 @@ class NativeSolver:
         self.abort_proof = None
         self.explored_count = 0
         self.expanded_nodes = 0
+        self.stats = SolverStats()
 
     # ------------------------------------------------------------------ API
     def maximize(self) -> Completion:
-        n = self.problem.nb_variables
+        self.stats.start = time.perf_counter()
         self.ns.push_batch(
             self._root_key[None, :], [0], [self._root.value], [INF], [0],
             self._root.path_vals[None, :], self._root.path_set[None, :],
@@ -368,9 +419,7 @@ class NativeSolver:
 
         while True:
             if self.cutoff.must_stop():
-                self.abort_proof = Reason.CUTOFF_OCCURRED
-                self.ns.clear()
-                self.ns.cache_clear()
+                self._abort()
                 break
             keys, depths, values, ubs, pvals, psets, popped = self.ns.pop_batch(
                 self.batch, self.best_lb
@@ -398,36 +447,76 @@ class NativeSolver:
             ]
             widths = [max(1, self.width_heu.max_width(s)) for s in subs]
 
+            t0 = time.perf_counter()
             restricted = self.compiler.compile_batch(
-                CompilationType.RESTRICTED, subs, self.best_lb, widths
+                CompilationType.RESTRICTED, subs, self.best_lb, widths,
+                **self._filter_tables(),
             )
+            t1 = time.perf_counter()
+            self.stats.restricted_s += t1 - t0
             need_relax, widths2, node_ubs = [], [], []
             for s, dd, w in zip(subs, restricted, widths):
                 self.expanded_nodes += int(dd.o["expanded"])
                 self._maybe_update_best(dd)
                 self._absorb_cache(dd)
+                self._absorb_dominance(dd)
                 if not dd.is_exact():
                     need_relax.append(s)
                     widths2.append(w)
                     node_ubs.append(s.ub)
+            self.stats.host_s += time.perf_counter() - t1
+            self.stats.supersteps += 1
             if not need_relax:
                 continue
+            t2 = time.perf_counter()
             relaxed = self.compiler.compile_batch(
-                CompilationType.RELAXED, need_relax, self.best_lb, widths2
+                CompilationType.RELAXED, need_relax, self.best_lb, widths2,
+                **self._filter_tables(),
             )
+            t3 = time.perf_counter()
+            self.stats.relaxed_s += t3 - t2
             for s, dd, node_ub in zip(need_relax, relaxed, node_ubs):
                 self.expanded_nodes += int(dd.o["expanded"])
                 self._maybe_update_best(dd)
                 self._absorb_cache(dd)
+                self._absorb_dominance(dd)
                 if not dd.is_exact():
                     self._enqueue(dd, node_ub)
+            self.stats.host_s += time.perf_counter() - t3
 
+        self.stats.total_s = time.perf_counter() - self.stats.start
         if self.abort_proof is None:
             self.best_ub = self.best_lb
         return Completion(
             is_exact=self.abort_proof is None,
             best_value=self.best_lb if self.best_sol is not None else None,
         )
+
+    def _abort(self):
+        """Abort on cutoff with bound recovery from the pending fringe
+        (parallel.rs:479-497): the global UB must stay valid, so fold the
+        best pending ub in before clearing."""
+        self.abort_proof = Reason.CUTOFF_OCCURRED
+        _, _, _, ubs, _, _, _ = self.ns.pop_batch(1, NEG_INF)
+        if len(ubs):
+            self.best_ub = min(self.best_ub, max(int(ubs[0]), self.best_lb))
+        self.ns.clear()
+        self.ns.cache_clear()
+
+    def _filter_tables(self):
+        if not self.filtering:
+            return {}
+        cache_tab = (
+            self._cache_tables.snapshot() if self._cache_tables is not None else None
+        )
+        dom_tab = self.dominance.snapshot() if self.dominance is not None else None
+        return dict(cache_tab=cache_tab, dom_tab=dom_tab)
+
+    def set_primal(self, value, solution):
+        """abstraction/solver.rs:77: warm-start the incumbent."""
+        if value > self.best_lb:
+            self.best_lb = value
+            self.best_sol = solution
 
     def _maybe_update_best(self, dd):
         val = dd.best_exact_value()
@@ -440,14 +529,34 @@ class NativeSolver:
             return
         depths, keys, thetas, explored = dd.cache_batch()
         self.ns.cache_update_batch(depths, keys, thetas, explored)
+        if self._cache_tables is not None and len(depths):
+            # feed only the array tables (the C++ cache answers must_explore)
+            self._cache_tables._snapshot = None
+            order = np.argsort(depths, kind="stable")
+            ds = depths[order]
+            ks = np.ascontiguousarray(keys, np.int32)[order]
+            ts = np.asarray(thetas, np.int32)[order]
+            starts = np.flatnonzero(np.diff(ds, prepend=-1))
+            for s, e in zip(starts, list(starts[1:]) + [len(ds)]):
+                self._cache_tables._append_rows(int(ds[s]), ks[s:e], ts[s:e])
+
+    def _absorb_dominance(self, dd):
+        if self.dominance is None or not self.filtering or "dkey" not in dd.o:
+            return
+        self.dominance.insert_batch(*dd.exact_nodes_batch())
 
     def _enqueue(self, dd, node_ub):
-        keys, depths, values, ubs, pvals, psets = dd.cutset_batch()
+        with_dom = self.dominance is not None and "dkey" in dd.o
+        batch = dd.cutset_batch(with_dom=with_dom)
+        keys, depths, values, ubs, pvals, psets = batch[:6]
         ubs = np.minimum(ubs, node_ub)
         keep = ubs > self.best_lb
-        keys, depths, values, ubs = keys[keep], depths[keep], values[keep], ubs[keep]
-        pvals, psets = pvals[keep], psets[keep]
-        if self.dominance is not None and len(depths):
+        if with_dom:
+            dkeys, dcoords = batch[6], batch[7]
+            # vectorized check-only probe (insertions happened in
+            # _absorb_dominance — cutset nodes are exact DD nodes)
+            keep &= ~self.dominance.is_dominated_batch(depths, dkeys, dcoords, values)
+        elif self.dominance is not None and len(depths):
             keep2 = np.ones(len(depths), bool)
             for i in range(len(depths)):
                 st = self.problem.unpack(keys[i])
@@ -455,8 +564,9 @@ class NativeSolver:
                     st, keys[i].tobytes(), int(depths[i]), int(values[i])
                 )
                 keep2[i] = not res.dominated
-            keys, depths, values, ubs = keys[keep2], depths[keep2], values[keep2], ubs[keep2]
-            pvals, psets = pvals[keep2], psets[keep2]
+            keep &= keep2
+        keys, depths, values, ubs = keys[keep], depths[keep], values[keep], ubs[keep]
+        pvals, psets = pvals[keep], psets[keep]
         self.ns.push_batch(
             keys, depths, values, ubs, np.zeros(len(depths), np.int64),
             pvals, psets,

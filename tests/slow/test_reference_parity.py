@@ -2,13 +2,16 @@
 
 Mirrors the reference's per-example `tests.rs` suites (SURVEY.md section 4,
 tier 3): solve bundled benchmark instances end-to-end and assert the
-published optima.  Every case here appears with the same optimum in
-`/root/reference/ddo/examples/<problem>/tests.rs`.
+published optima.  The expectation tables in `ref_optima.py` are extracted
+from `/root/reference/ddo/examples/<problem>/tests.rs`; rows the reference
+itself marks `#[ignore]` (long-running) carry the `big` marker here.
 
 Deselected by default (`addopts = -m 'not slow'` in pyproject.toml); run
 
-    python -m pytest -m slow tests/slow -q
+    python -m pytest -m 'slow and not big' tests/slow -q     # the suite
+    python -m pytest -m 'slow and big' tests/slow -q         # the big tier
 
+Every test must finish within DDO_TEST_BUDGET seconds (conftest.py).
 The fast per-model suites (tests/test_*.py) keep a small subset of these
 plus brute-force oracles; this file is the breadth tier.
 """
@@ -18,43 +21,26 @@ import pytest
 import ddo_tpu
 from ddo_tpu import FixedWidth, ModelBundle, SimpleDominanceChecker
 
+import ref_optima as REF  # tests/slow is on sys.path (pytest prepend mode)
+
 pytestmark = pytest.mark.slow
 
 R = "/root/reference/resources"
 
 
-# --------------------------------------------------------------------------
-# knapsack (knapsack/tests.rs:66-200)
-# --------------------------------------------------------------------------
-KNAPSACK = [
-    ("f1_l-d_kp_10_269", 295),
-    ("f2_l-d_kp_20_878", 1024),
-    ("f3_l-d_kp_4_20", 35),
-    ("f4_l-d_kp_4_11", 23),
-    ("f6_l-d_kp_10_60", 52),
-    ("f7_l-d_kp_7_50", 107),
-    ("f8_l-d_kp_23_10000", 9767),
-    ("f9_l-d_kp_5_80", 130),
-    ("f10_l-d_kp_20_879", 1025),
-    ("knapPI_1_100_1000_1", 9147),
-    ("knapPI_1_200_1000_1", 11238),
-    ("knapPI_2_100_1000_1", 1514),
-    ("knapPI_2_200_1000_1", 1634),
-    ("knapPI_3_100_1000_1", 2397),
-    ("knapPI_3_200_1000_1", 2697),
-    ("knapPI_1_500_1000_1", 28857),
-    ("knapPI_2_500_1000_1", 4566),
-    ("knapPI_3_500_1000_1", 7117),
-    ("knapPI_1_1000_1000_1", 54503),
-    ("knapPI_2_1000_1000_1", 9052),
-    ("knapPI_3_1000_1000_1", 14390),
-    ("knapPI_1_2000_1000_1", 110625),
-    ("knapPI_2_2000_1000_1", 18051),
-    ("knapPI_3_2000_1000_1", 28919),
-]
+def _params(rows):
+    """(file, optimum) params; reference-#[ignore] rows get the big mark."""
+    return [
+        pytest.param(f, opt, marks=pytest.mark.big) if ignored
+        else pytest.param(f, opt)
+        for f, opt, ignored in rows
+    ]
 
 
-@pytest.mark.parametrize("fname,opt", KNAPSACK)
+# --------------------------------------------------------------------------
+# knapsack (knapsack/tests.rs — all 30, incl. the #[ignore] knapPI_*_5000)
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize("fname,opt", _params(REF.KNAPSACK))
 def test_knapsack(fname, opt):
     from ddo_tpu.models.knapsack import KPDominance, KPRanking, KPRelax, read_instance
 
@@ -71,34 +57,16 @@ def test_knapsack(fname, opt):
 
 
 # --------------------------------------------------------------------------
-# MISP (misp/tests.rs, DIMACS .clq complements)
+# MISP (misp/tests.rs — all 30 DIMACS complements)
 # --------------------------------------------------------------------------
-MISP = [
-    ("hamming6-2.clq", 32, 16),
-    ("hamming6-4.clq", 4, 16),
-    ("hamming8-2.clq", 128, 16),
-    ("hamming8-4.clq", 16, 32),
-    ("johnson8-2-4.clq", 4, 16),
-    ("johnson8-4-4.clq", 14, 32),
-    ("MANN_a9.clq", 16, 32),
-    ("c-fat200-1.clq", 12, 16),
-    ("c-fat200-2.clq", 24, 16),
-    ("c-fat200-5.clq", 58, 16),
-    ("c-fat500-1.clq", 14, 16),
-    ("c-fat500-2.clq", 26, 16),
-    ("keller4.clq", 11, 64),
-    ("p_hat300-1.clq", 8, 64),
-]
-
-
-@pytest.mark.parametrize("fname,opt,width", MISP)
-def test_misp(fname, opt, width):
+@pytest.mark.parametrize("fname,opt", _params(REF.MISP))
+def test_misp(fname, opt):
     from ddo_tpu.models.misp import MispRanking, MispRelax, read_instance
 
     pb = read_instance(f"{R}/misp/{fname}")
     bundle = ModelBundle(pb, MispRelax(pb), MispRanking(pb))
     solver = ddo_tpu.SequentialSolver(
-        bundle, width_heu=FixedWidth(width), batch=8,
+        bundle, width_heu=FixedWidth(64), batch=8,
         cutset_type=ddo_tpu.LAST_EXACT_LAYER,
     )
     completion = solver.maximize()
@@ -107,23 +75,9 @@ def test_misp(fname, opt, width):
 
 
 # --------------------------------------------------------------------------
-# MAX2SAT (max2sat/tests.rs)
+# MAX2SAT (max2sat/tests.rs — all 20)
 # --------------------------------------------------------------------------
-MAX2SAT = [
-    ("debug.wcnf", 24),
-    ("debug2.wcnf", 13),
-    ("pass.wcnf", 54),
-    ("tautology.wcnf", 7),
-    ("unit.wcnf", 6),
-    ("negative_wt.wcnf", 4258),
-    ("frb10-6-1.wcnf", 37037),
-    ("frb10-6-2.wcnf", 38196),
-    ("frb10-6-3.wcnf", 36671),
-    ("frb10-6-4.wcnf", 38928),
-]
-
-
-@pytest.mark.parametrize("fname,opt", MAX2SAT)
+@pytest.mark.parametrize("fname,opt", _params(REF.MAX2SAT))
 def test_max2sat(fname, opt):
     from ddo_tpu.models.max2sat import Max2SatRanking, Max2SatRelax, read_instance
 
@@ -140,21 +94,7 @@ def test_max2sat(fname, opt):
 # --------------------------------------------------------------------------
 # MCP (mcp/tests.rs — all ten bundled n30 instances)
 # --------------------------------------------------------------------------
-MCP = [
-    ("mcp_n30_p0.1_000.mcp", 13),
-    ("mcp_n30_p0.1_001.mcp", 18),
-    ("mcp_n30_p0.1_002.mcp", 15),
-    ("mcp_n30_p0.1_003.mcp", 19),
-    ("mcp_n30_p0.1_004.mcp", 16),
-    ("mcp_n30_p0.1_005.mcp", 19),
-    ("mcp_n30_p0.1_006.mcp", 12),
-    ("mcp_n30_p0.1_007.mcp", 18),
-    ("mcp_n30_p0.1_008.mcp", 20),
-    ("mcp_n30_p0.1_009.mcp", 22),
-]
-
-
-@pytest.mark.parametrize("fname,opt", MCP)
+@pytest.mark.parametrize("fname,opt", _params(REF.MCP))
 def test_mcp(fname, opt):
     from ddo_tpu.models.mcp import McpRanking, McpRelax, read_instance
 
@@ -170,32 +110,9 @@ def test_mcp(fname, opt):
 
 
 # --------------------------------------------------------------------------
-# TSPTW (tsptw/tests.rs — Langevin N20 suite; objective = -value/1e4)
+# TSPTW (tsptw/tests.rs — Langevin + SolomonPotvinBengio, all 100;
+# objective decode = -value/1e4, 2 resp. 4 decimals like tests.rs:55-58)
 # --------------------------------------------------------------------------
-LANGEVIN = [
-    ("N20ft301.dat", 661.60),
-    ("N20ft302.dat", 703.00),
-    ("N20ft303.dat", 746.40),
-    ("N20ft304.dat", 817.00),
-    ("N20ft305.dat", 724.70),
-    ("N20ft306.dat", 729.50),
-    ("N20ft307.dat", 691.80),
-    ("N20ft308.dat", 788.20),
-    ("N20ft309.dat", 751.80),
-    ("N20ft310.dat", 693.80),
-    ("N20ft401.dat", 660.90),
-    ("N20ft402.dat", 701.00),
-    ("N20ft403.dat", 746.40),
-    ("N20ft404.dat", 817.00),
-    ("N20ft405.dat", 724.70),
-    ("N20ft406.dat", 728.50),
-    ("N20ft407.dat", 691.80),
-    ("N20ft408.dat", 786.10),
-    ("N20ft409.dat", 749.80),
-    ("N20ft410.dat", 693.80),
-]
-
-
 def _solve_tsptw(path, opt, decimals):
     """Shared TSPTW parity runner (one solver config for every suite)."""
     from ddo_tpu.models.tsptw import (
@@ -215,67 +132,16 @@ def _solve_tsptw(path, opt, decimals):
     assert round(-solver.best_value() / 10000.0, decimals) == round(opt, decimals)
 
 
-@pytest.mark.parametrize("fname,opt", LANGEVIN)
-def test_tsptw_langevin(fname, opt):
-    _solve_tsptw(f"{R}/tsptw/Langevin/{fname}", opt, 2)
+@pytest.mark.parametrize("fname,opt", _params(REF.TSPTW))
+def test_tsptw(fname, opt):
+    decimals = 2 if fname.startswith("Langevin") else 4
+    _solve_tsptw(f"{R}/tsptw/{fname}", opt, decimals)
 
 
 # --------------------------------------------------------------------------
-# TSPTW — SolomonPotvinBengio suite (tsptw/tests.rs solve_solomon_potvin_bengio
-# asserts; objective = -value/1e4, 4-decimal parity with the reference)
+# SOP (sop/tests.rs — all 13)
 # --------------------------------------------------------------------------
-SOLOMON_PB = [
-    ("rc_201.1.txt", 592.0611),
-    ("rc_201.2.txt", 860.1748),
-    ("rc_201.3.txt", 853.7075),
-    ("rc_201.4.txt", 889.1761),
-    ("rc_202.1.txt", 850.48),
-    ("rc_202.2.txt", 338.5183),
-    ("rc_202.3.txt", 894.1028),
-    ("rc_202.4.txt", 853.7075),
-    ("rc_203.1.txt", 488.4224),
-    ("rc_203.2.txt", 853.7075),
-    ("rc_203.3.txt", 921.4397),
-    ("rc_203.4.txt", 338.5183),
-    ("rc_204.1.txt", 917.83),
-    ("rc_204.2.txt", 690.06),
-    ("rc_204.3.txt", 455.0315),
-    ("rc_205.1.txt", 417.8058),
-    ("rc_205.2.txt", 820.1853),
-    ("rc_205.3.txt", 950.0539),
-    ("rc_205.4.txt", 837.7083),
-    ("rc_206.1.txt", 117.8479),
-    ("rc_206.2.txt", 870.4875),
-    ("rc_206.3.txt", 650.5942),
-    ("rc_206.4.txt", 911.9814),
-    ("rc_207.1.txt", 804.6735),
-    ("rc_207.2.txt", 713.90),
-    ("rc_207.3.txt", 745.7717),
-    ("rc_207.4.txt", 133.1421),
-    ("rc_208.1.txt", 810.70),
-    ("rc_208.2.txt", 579.51),
-    ("rc_208.3.txt", 686.7954),
-]
-
-
-@pytest.mark.parametrize("fname,opt", SOLOMON_PB)
-def test_tsptw_solomon_potvin_bengio(fname, opt):
-    _solve_tsptw(f"{R}/tsptw/SolomonPotvinBengio/{fname}", opt, 4)
-
-
-# --------------------------------------------------------------------------
-# SOP (sop/tests.rs)
-# --------------------------------------------------------------------------
-SOP = [
-    ("ESC07.sop", 2125),
-    ("ESC11.sop", 2075),
-    ("ESC12.sop", 1675),
-    ("br17.10.sop", 55),
-    ("br17.12.sop", 55),
-]
-
-
-@pytest.mark.parametrize("fname,opt", SOP)
+@pytest.mark.parametrize("fname,opt", _params(REF.SOP))
 def test_sop(fname, opt):
     from ddo_tpu.models.sop import SopRanking, SopRelax, SopWidth, read_instance
 
@@ -292,22 +158,9 @@ def test_sop(fname, opt):
 
 
 # --------------------------------------------------------------------------
-# SRFLP (srflp/tests.rs; objective decode mirrors main.rs)
+# SRFLP (srflp/tests.rs — all 17; objective decode mirrors main.rs)
 # --------------------------------------------------------------------------
-SRFLP = [
-    ("Cl5", 1100.0),
-    ("Cl6", 1990.0),
-    ("Cl7", 4730.0),
-    ("Cl8", 6295.0),
-    ("S8", 801.0),
-    ("S8H", 2324.5),
-    ("S9", 2469.5),
-    ("S9H", 4695.5),
-    ("S10", 2781.5),
-]
-
-
-@pytest.mark.parametrize("fname,opt", SRFLP)
+@pytest.mark.parametrize("fname,opt", _params(REF.SRFLP))
 def test_srflp(fname, opt):
     from ddo_tpu.models.srflp import (
         SrflpRanking, SrflpRelax, SrflpWidth, read_instance,
@@ -326,20 +179,9 @@ def test_srflp(fname, opt):
 
 
 # --------------------------------------------------------------------------
-# Talent scheduling (talentsched/tests.rs; objective = -best_value)
+# Talent scheduling (talentsched/tests.rs — all 16; objective = -best)
 # --------------------------------------------------------------------------
-TALENT = [
-    ("tiny", 29),
-    ("tiny2", 9),
-    ("small", 54),
-    ("small2", 56),
-    ("concert", 111),
-    ("film-10", 352),
-    ("film-12", 401),
-]
-
-
-@pytest.mark.parametrize("fname,opt", TALENT)
+@pytest.mark.parametrize("fname,opt", _params(REF.TALENTSCHED))
 def test_talentsched(fname, opt):
     from ddo_tpu.models.talentsched import (
         TalentSchedRanking, TalentSchedRelax, read_instance,
@@ -357,18 +199,9 @@ def test_talentsched(fname, opt):
 
 
 # --------------------------------------------------------------------------
-# LCS (lcs/tests.rs)
+# LCS (lcs/tests.rs — all 6)
 # --------------------------------------------------------------------------
-LCS = [
-    ("neg_12_3_1.txt", 203),
-    ("neg_12_3_3.txt", 358),
-    ("neg_12_3_6.txt", 245),
-    ("neg_12_3_8.txt", 268),
-    ("poz_12_3_1.txt", 222),
-]
-
-
-@pytest.mark.parametrize("fname,opt", LCS)
+@pytest.mark.parametrize("fname,opt", _params(REF.LCS))
 def test_lcs(fname, opt):
     from ddo_tpu.models.lcs import (
         LcsDominance, LcsRanking, LcsRelax, read_instance,
@@ -387,45 +220,46 @@ def test_lcs(fname, opt):
 
 
 # --------------------------------------------------------------------------
-# PSP (psp/tests.rs pattern: trailing instance line = known optimum)
+# PSP (psp/tests.rs pattern: trailing instance line = known optimum;
+# 100 two-item + 50 five-item + 20 ten-item instances)
 # --------------------------------------------------------------------------
-@pytest.mark.parametrize("idx", list(range(1, 11)))
+def _solve_psp(path, width):
+    from ddo_tpu.models.psp import PspRanking, PspRelax, read_instance
+
+    pb, optimum = read_instance(path)
+    assert optimum is not None
+    bundle = ModelBundle(pb, PspRelax(pb), PspRanking())
+    solver = ddo_tpu.SequentialSolver(
+        bundle, width_heu=FixedWidth(width), batch=8, cache=ddo_tpu.SimpleCache(),
+    )
+    completion = solver.maximize()
+    assert completion.is_exact
+    assert -solver.best_value() == optimum
+
+
+@pytest.mark.parametrize("idx", list(range(1, 101)))
 def test_psp_2items(idx):
-    from ddo_tpu.models.psp import PspRanking, PspRelax, read_instance
-
-    pb, optimum = read_instance(f"{R}/psp/instancesWith2items/{idx}")
-    assert optimum is not None
-    bundle = ModelBundle(pb, PspRelax(pb), PspRanking())
-    solver = ddo_tpu.SequentialSolver(
-        bundle, width_heu=FixedWidth(8), batch=8, cache=ddo_tpu.SimpleCache(),
-    )
-    completion = solver.maximize()
-    assert completion.is_exact
-    assert -solver.best_value() == optimum
+    _solve_psp(f"{R}/psp/instancesWith2items/{idx}", 8)
 
 
-@pytest.mark.parametrize("idx", list(range(1, 6)))
+@pytest.mark.parametrize("idx", list(range(1, 51)))
 def test_psp_5items(idx):
-    from ddo_tpu.models.psp import PspRanking, PspRelax, read_instance
+    _solve_psp(f"{R}/psp/instancesWith5items/{idx}", 16)
 
-    pb, optimum = read_instance(f"{R}/psp/instancesWith5items/{idx}")
-    assert optimum is not None
-    bundle = ModelBundle(pb, PspRelax(pb), PspRanking())
-    solver = ddo_tpu.SequentialSolver(
-        bundle, width_heu=FixedWidth(16), batch=8, cache=ddo_tpu.SimpleCache(),
-    )
-    completion = solver.maximize()
-    assert completion.is_exact
-    assert -solver.best_value() == optimum
+
+@pytest.mark.parametrize("idx", list(range(1, 21)))
+def test_psp_10items(idx):
+    _solve_psp(f"{R}/psp/instancesWith10items/{idx}", 32)
 
 
 # --------------------------------------------------------------------------
-# Golomb (golomb/tests.rs:66-88)
+# Golomb (golomb/tests.rs — all 8, n=2..9)
 # --------------------------------------------------------------------------
-@pytest.mark.parametrize("n,opt", [(2, 1), (3, 3), (4, 6), (5, 11), (6, 17), (7, 25), (8, 34)])
-def test_golomb(n, opt):
+@pytest.mark.parametrize("fname,opt", _params(REF.GOLOMB))
+def test_golomb(fname, opt):
     from ddo_tpu.models.golomb import Golomb, GolombRanking, GolombRelax
 
+    n = int(fname.replace("golomb", ""))
     pb = Golomb(n)
     bundle = ModelBundle(pb, GolombRelax(pb), GolombRanking())
     solver = ddo_tpu.SequentialSolver(
@@ -438,20 +272,9 @@ def test_golomb(n, opt):
 
 
 # --------------------------------------------------------------------------
-# ALP (alp/tests.rs — n25 single-runway family)
+# ALP (alp/tests.rs — all 187)
 # --------------------------------------------------------------------------
-ALP = [
-    ("alp_n25_r1_c2_std10_s0", 755),
-    ("alp_n25_r1_c2_std10_s1", 554),
-    ("alp_n25_r1_c2_std10_s2", 637),
-    ("alp_n25_r1_c2_std10_s3", 1503),
-    ("alp_n25_r1_c2_std10_s4", 2985),
-    ("alp_n25_r1_c2_std20_s0", 1213),
-    ("alp_n25_r1_c2_std20_s1", 641),
-]
-
-
-@pytest.mark.parametrize("fname,opt", ALP)
+@pytest.mark.parametrize("fname,opt", _params(REF.ALP))
 def test_alp(fname, opt):
     from ddo_tpu.models.alp import (
         AlpDominance, AlpRanking, AlpRelax, read_instance,

@@ -482,3 +482,144 @@ def test_exact_compile_overflowing_buffer_raises():
     compiler3 = DDCompiler(bundle, 4, CutsetType.LAST_EXACT_LAYER)
     dd = compiler3.compile(CompilationType.RELAXED, root_subproblem(pb), NEG_INF, 2)
     assert dd.best_value() is not None
+
+
+# ---------------------------------------------------------------------------
+# In-compilation filtering (clean.rs:657-726): cache threshold pruning with
+# theta propagation, snapshot-dominance pruning, within-layer dominance.
+# ---------------------------------------------------------------------------
+from ddo_tpu.core.problem import Dominance as _Dominance
+
+
+class DummyDom(_Dominance):
+    """For DummyProblem: every same-depth state comparable, coordinate =
+    the state's accumulated value (higher truly dominates for this DP:
+    the suffix sums are state-independent)."""
+
+    use_value = True
+
+    def key_cols(self, state):
+        return jnp.zeros((0,), jnp.int32)
+
+    def coord_cols(self, state):
+        return jnp.asarray(state["value"], jnp.int32).reshape(1)
+
+
+def _key_of(pb, value, depth):
+    """Canonical packed key of a Dummy state (default pack: leaf order)."""
+    import jax
+    state = dict(value=jnp.asarray(value, I32), depth=jnp.asarray(depth, I32))
+    return np.asarray(pb.pack(state), np.int32)
+
+
+def test_cache_filter_prunes_at_or_below_threshold_and_propagates_theta():
+    """_filter_with_cache (clean.rs:710-726): a node whose value_top is at
+    or below the stored threshold never materializes; its theta (the
+    threshold) propagates to parents minus the edge cost (clean.rs:522-528,
+    'propagate even if pruned')."""
+    pb, bundle = dummy_bundle()
+    cache = SimpleCache()
+    cache.initialize(pb)
+    # layer-1 state value=2 (the best child, value_top=2): threshold 5 >= 2
+    cache.update_batch(
+        np.asarray([1]), _key_of(pb, 2, 1)[None, :], np.asarray([5]),
+        np.asarray([1]),
+    )
+    compiler = DDCompiler(bundle, 16, CutsetType.FRONTIER)
+    root = root_subproblem(pb)
+    dd = compiler.compile(CompilationType.RELAXED, root, NEG_INF, 16,
+                          cache_tab=cache.snapshot())
+    # pruned: layer 1 holds only values {0, 1}
+    vals1 = sorted(dd.o["value"][1][dd.o["mask"][1]].tolist())
+    assert vals1 == [0, 1]
+    # best path lost the pruned prefix: 1+2+2 instead of 2+2+2
+    assert dd.best_value() == 5
+    # theta at the root includes threshold(5) - edge cost(2) = 3
+    assert dd.o["has_theta"][0][dd.o["mask"][0]].all()
+    assert dd.o["theta"][0][dd.o["mask"][0]].min() <= 3
+
+    # without the table: nothing pruned
+    dd2 = compiler.compile(CompilationType.RELAXED, root, NEG_INF, 16)
+    assert dd2.best_value() == 6
+    assert int(dd2.o["expanded"]) > int(dd.o["expanded"])
+
+
+def test_cache_filter_strictly_above_threshold_survives():
+    """clean.rs:715: value_top > threshold means the node IS explored."""
+    pb, bundle = dummy_bundle()
+    cache = SimpleCache()
+    cache.initialize(pb)
+    cache.update_batch(
+        np.asarray([1]), _key_of(pb, 2, 1)[None, :], np.asarray([1]),
+        np.asarray([1]),
+    )
+    compiler = DDCompiler(bundle, 16, CutsetType.FRONTIER)
+    dd = compiler.compile(CompilationType.RELAXED, root_subproblem(pb),
+                          NEG_INF, 16, cache_tab=cache.snapshot())
+    assert dd.best_value() == 6  # threshold 1 < value 2: kept
+
+
+def test_within_layer_dominance_prunes_and_records_thresholds():
+    """_filter_with_dominance (clean.rs:689-708) applied among the nodes of
+    one layer: dominated exact nodes are masked out, their theta is the
+    dominating value (coords differ -> threshold = dominator's value)."""
+    pb, bundle = dummy_bundle()
+    compiler = DDCompiler(bundle, 16, CutsetType.FRONTIER,
+                          dominance=DummyDom())
+    dd = compiler.compile(CompilationType.EXACT, root_subproblem(pb),
+                          NEG_INF, 16)
+    # layers 1 and 2 keep only the max-value state (value 2, then 4)
+    assert dd.o["mask"][1].sum() == 1
+    assert int(dd.o["value"][1][dd.o["mask"][1]][0]) == 2
+    assert dd.o["mask"][2].sum() == 1
+    assert int(dd.o["value"][2][dd.o["mask"][2]][0]) == 4
+    # terminal layer is never filtered (it skips _move_to_next_layer)
+    assert dd.o["mask"][3].sum() == 3
+    assert dd.best_value() == 6
+    # pruned rows carry theta = dominating value (2 at layer 1)
+    wl1 = dd.o["wl_pruned"][1]
+    assert wl1.sum() == 2
+    assert (dd.o["theta"][1][wl1] == 2).all()
+    assert dd.o["has_theta"][1][wl1].all()
+
+
+def test_snapshot_dominance_prunes_against_store_entries():
+    """Store entries dominate in-compilation exact nodes
+    (clean.rs:697 via is_dominated_or_insert, simple.rs:71-111)."""
+    from ddo_tpu.search.dominance import SimpleDominanceChecker
+
+    pb, bundle = dummy_bundle()
+    dom = DummyDom()
+    checker = SimpleDominanceChecker(dom, pb.nb_variables)
+    # an entry at depth 1 with coords [5], value 5: dominates every
+    # depth-1 state (coords 0..2, values 0..2)
+    checker.insert_batch(np.asarray([1]), np.asarray([[ ]], np.int32).reshape(1, 0),
+                         np.asarray([[5]], np.int32), np.asarray([5]))
+    compiler = DDCompiler(bundle, 16, CutsetType.FRONTIER, dominance=dom)
+    dd = compiler.compile(CompilationType.EXACT, root_subproblem(pb),
+                          NEG_INF, 16, dom_tab=checker.snapshot())
+    # the whole layer 1 is dominated: DD dies, infeasible
+    assert dd.o["mask"][1].sum() == 0
+    assert dd.best_value() is None
+
+
+def test_equal_entry_does_not_dominate():
+    """partial_cmp: overall equality is NOT dominance (dominance.rs:69-76),
+    so a node equal to a store entry (e.g. itself, re-compiled) survives."""
+    from ddo_tpu.search.dominance import SimpleDominanceChecker
+
+    pb, bundle = dummy_bundle()
+    dom = DummyDom()
+    checker = SimpleDominanceChecker(dom, pb.nb_variables)
+    # exactly the layer-1 nodes: (coord=v, value=v) for v in 0..2
+    checker.insert_batch(
+        np.asarray([1, 1, 1]), np.zeros((3, 0), np.int32),
+        np.asarray([[0], [1], [2]], np.int32), np.asarray([0, 1, 2]),
+    )
+    compiler = DDCompiler(bundle, 16, CutsetType.FRONTIER, dominance=dom)
+    dd = compiler.compile(CompilationType.EXACT, root_subproblem(pb),
+                          NEG_INF, 16, dom_tab=checker.snapshot())
+    # snapshot equals the layer: nothing pruned by the SNAPSHOT; the
+    # within-layer pass still prunes v0,v1 (dominated by v2)
+    assert dd.o["mask"][1].sum() == 1
+    assert dd.best_value() == 6

@@ -150,3 +150,30 @@ def test_medium_instances(fname, opt):
     completion = solver.maximize()
     assert completion.is_exact
     check_solution(pb, solver, opt)
+
+
+def test_in_compile_filtering_reduces_work():
+    """VERDICT r1 item #1 'done' criterion: with in-compilation dominance
+    + cache filtering the solver proves the same optimum while expanding
+    measurably fewer DD nodes than the enqueue-only round-1 behavior."""
+    import ddo_tpu
+    from ddo_tpu.models.knapsack import KPDominance, KPRanking, KPRelax, read_instance
+
+    pb = read_instance(f"{RESOURCES}/f2_l-d_kp_20_878")
+    bundle = ddo_tpu.ModelBundle(pb, KPRelax(pb), KPRanking())
+
+    def solve(filtering):
+        s = ddo_tpu.SequentialSolver(
+            bundle, width_heu=ddo_tpu.FixedWidth(2), batch=4,
+            cache=ddo_tpu.SimpleCache(), cutset_type=ddo_tpu.FRONTIER,
+            dominance=ddo_tpu.SimpleDominanceChecker(KPDominance(), pb.nb_variables),
+            in_compile_filtering=filtering,
+        )
+        c = s.maximize()
+        assert c.is_exact and s.best_value() == 1024
+        return s.expanded_nodes, s.explored_count
+
+    exp_on, expl_on = solve(True)
+    exp_off, expl_off = solve(False)
+    assert exp_on < exp_off
+    assert expl_on <= expl_off

@@ -161,11 +161,11 @@ class VecDominance(Dominance):
     def __init__(self, use_value):
         self.use_value = use_value
 
-    def key(self, state):
-        return 0
+    def key_cols(self, state):
+        return np.zeros(0, np.int32)  # every same-depth state comparable
 
-    def coords(self, state):
-        return np.asarray(state, np.int64)
+    def coord_cols(self, state):
+        return np.asarray(state, np.int32)
 
 
 def check(dom, state, value, depth=0):
