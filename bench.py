@@ -1,64 +1,57 @@
-"""Benchmark: MDD node-expansion throughput on the flagship knapsack model.
+"""Benchmark: engine throughput + end-to-end time-to-proved-optimal.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+plus a human-readable table on stderr.
 
-Metric: node expansions per second while compiling relaxed DDs (the hot
-loop of the whole framework, reference clean.rs:345-381) on the bundled
-knapPI_1_2000_1000_1 instance (n=2000 items), batched K lanes x width W on
-one TPU chip.
+Headline metric: MDD node expansions per second while compiling relaxed
+DDs (the hot loop of the whole framework, reference clean.rs:345-381) on
+knapPI_1_2000_1000_1 (n=2000), K lanes x width W on one TPU chip.  The
+`extra` dict carries the same rate for MISP (bitset states + long arcs)
+and TSPTW (256-bit sets + time windows) kernel shapes, and a measured
+time-to-proved-optimal table over shared reference instances (optima
+asserted, so a wrong solver cannot "win" the bench).
 
 Baseline: the Rust reference publishes no throughput numbers
-(BASELINE.md) and no Rust toolchain exists in this image, so the
-comparison constant is an estimate of the single-core Rust engine's
-expansion rate (~2M nodes/s: per node it does a hash-map insert, an Arc
-clone and a closure dispatch, clean.rs:728-776, at ~100ns+ each).
-vs_baseline = our_rate / 2e6.
+(BASELINE.md) and no Rust toolchain exists in this image, so
+`vs_baseline` divides by a documented ESTIMATE of the single-core Rust
+engine's expansion rate (~2M nodes/s: per node it does a hash-map
+insert, an Arc clone and a closure dispatch, clean.rs:728-776, at
+~100ns+ each).  `extra.baseline_kind` says so explicitly; the
+time-to-optimal rows are measured absolute numbers tracked
+round-over-round instead.
 """
 
 import json
+import sys
 import time
 
 RUST_REFERENCE_EXPANSIONS_PER_SEC = 2_000_000.0  # documented estimate
 
 
-def main():
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def kernel_rate(bundle, n_label, K, W, cutset, reps=5):
+    """Expansions/s of the jitted K-lane relaxed superstep alone."""
     import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-
     import jax.numpy as jnp
     import numpy as np
 
-    from ddo_tpu import ModelBundle
-    from ddo_tpu.core.types import CompilationType, CutsetType, root_subproblem
-    from ddo_tpu.engine.mdd import DDCompiler
-    from ddo_tpu.models.knapsack import KPRanking, KPRelax, read_instance
+    from ddo_tpu.core.types import CompilationType, root_subproblem
+    from ddo_tpu.engine.mdd import DDCompiler, _compile_vjit
 
-    pb = read_instance("/root/reference/resources/knapsack/knapPI_1_2000_1000_1")
-    bundle = ModelBundle(pb, KPRelax(pb), KPRanking())
-
-    K, W = 128, 256  # K sweep on v5e: 33M exp/s @64, 43.5M @128, 42.3M @256
-    compiler = DDCompiler(bundle, W, CutsetType.LAST_EXACT_LAYER)
-    root = root_subproblem(pb)
-    subs = [root] * K
-    widths = [W] * K
-
-    # warmup (jit compile)
-    views = compiler.compile_batch(CompilationType.RELAXED, subs, -(10**9), widths)
-    expanded_per_call = sum(int(v.o["expanded"]) for v in views)
-
-    # timed: the jitted superstep only (device throughput; host drain is
-    # pipelined/amortized in the solver loop)
-    from ddo_tpu.engine.mdd import _compile_vjit
-
+    compiler = DDCompiler(bundle, W, cutset)
     spec = compiler._specs[CompilationType.RELAXED]
+    root = root_subproblem(bundle.problem)
+    subs = [root] * K
     states = jax.tree_util.tree_map(
         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *[s.state for s in subs]
     )
     values = jnp.asarray([s.value for s in subs], jnp.int32)
     depths = jnp.asarray([s.depth for s in subs], jnp.int32)
-    ws = jnp.asarray(widths, jnp.int32)
+    ws = jnp.asarray([W] * K, jnp.int32)
     psets = jnp.asarray(np.stack([s.path_set for s in subs]))
 
     def run():
@@ -68,22 +61,134 @@ def main():
         jax.block_until_ready(out["expanded"])
         return out
 
-    run()  # warm
-    reps = 5
+    run()  # warm (jit compile)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = run()
     dt = (time.perf_counter() - t0) / reps
     expanded = int(np.sum(np.asarray(out["expanded"])))
     rate = expanded / dt
+    log(f"  rate[{n_label}] K={K} W={W}: {rate:,.0f} exp/s "
+        f"({expanded} exp / {dt*1e3:.1f} ms)")
+    return rate
+
+
+def time_to_optimal(label, make_solver, expect):
+    """Measured cold (incl. one-time jit compile) and warm solve times;
+    the proved optimum is asserted so a wrong solver cannot 'win'."""
+    times = []
+    for phase in ("cold", "warm"):
+        solver = make_solver()
+        t0 = time.perf_counter()
+        completion = solver.maximize()
+        dt = time.perf_counter() - t0
+        got = solver.best_value()
+        log(f"  tto[{label}] {phase}: {dt:.3f}s  value={got} expect={expect} "
+            f"exact={completion.is_exact} explored={solver.explored_count} "
+            f"expanded={solver.expanded_nodes}")
+        if not (completion.is_exact and got == expect):
+            raise AssertionError(
+                f"{label}: got {got} (exact={completion.is_exact}), "
+                f"expected {expect}")
+        times.append(round(dt, 3))
+    return {"cold_s": times[0], "warm_s": times[1]}
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    import ddo_tpu
+    from ddo_tpu import FixedWidth, ModelBundle, SimpleCache, SimpleDominanceChecker
+
+    R = "/root/reference/resources"
+    extra = {"baseline_kind": "estimated-rust-single-core (no Rust toolchain "
+             "in image; see bench.py docstring)"}
+
+    # ---------------- kernel throughput, three model families --------------
+    log("kernel throughput (relaxed compile superstep):")
+    from ddo_tpu.models.knapsack import KPRanking, KPRelax
+    from ddo_tpu.models.knapsack import read_instance as kp_read
+
+    kp = kp_read(f"{R}/knapsack/knapPI_1_2000_1000_1")
+    kp_bundle = ModelBundle(kp, KPRelax(kp), KPRanking())
+    rate_kp = kernel_rate(kp_bundle, "knapsack_n2000", 128, 256,
+                          ddo_tpu.LAST_EXACT_LAYER)
+    extra["knapsack_exp_per_sec"] = round(rate_kp)
+
+    from ddo_tpu.models.misp import MispRanking, MispRelax
+    from ddo_tpu.models.misp import read_instance as misp_read
+
+    mp = misp_read(f"{R}/misp/keller4.clq")
+    mp_bundle = ModelBundle(mp, MispRelax(mp), MispRanking(mp))
+    rate_mp = kernel_rate(mp_bundle, "misp_keller4", 64, 128,
+                          ddo_tpu.LAST_EXACT_LAYER)
+    extra["misp_exp_per_sec"] = round(rate_mp)
+
+    from ddo_tpu.models.tsptw import TsptwRanking, TsptwRelax
+    from ddo_tpu.models.tsptw import read_instance as tw_read
+
+    tw = tw_read(f"{R}/tsptw/SolomonPotvinBengio/rc_201.1.txt")
+    tw_bundle = ModelBundle(tw, TsptwRelax(tw), TsptwRanking())
+    rate_tw = kernel_rate(tw_bundle, "tsptw_rc201.1", 64, 128, ddo_tpu.FRONTIER)
+    extra["tsptw_exp_per_sec"] = round(rate_tw)
+
+    # ---------------- measured end-to-end time-to-proved-optimal ----------
+    log("time-to-proved-optimal (measured, optima asserted):")
+    from ddo_tpu.models.knapsack import KPDominance
+
+    tto = {}
+    for name, opt in [("knapPI_1_500_1000_1", 28857),
+                      ("knapPI_1_1000_1000_1", 54503),
+                      ("knapPI_1_2000_1000_1", 110625)]:
+        pb = kp_read(f"{R}/knapsack/{name}")
+        bundle = ModelBundle(pb, KPRelax(pb), KPRanking())
+        tto[name] = time_to_optimal(
+            name,
+            lambda: ddo_tpu.SequentialSolver(
+                bundle, width_heu=FixedWidth(2), batch=8, cache=SimpleCache(),
+                cutset_type=ddo_tpu.FRONTIER,
+                dominance=SimpleDominanceChecker(KPDominance(), pb.nb_variables),
+            ),
+            opt,
+        )
+
+    cf = misp_read(f"{R}/misp/c-fat200-5.clq")
+    cf_bundle = ModelBundle(cf, MispRelax(cf), MispRanking(cf))
+    tto["misp_c-fat200-5"] = time_to_optimal(
+        "misp_c-fat200-5",
+        lambda: ddo_tpu.SequentialSolver(
+            cf_bundle, width_heu=FixedWidth(16), batch=8,
+            cutset_type=ddo_tpu.LAST_EXACT_LAYER,
+        ),
+        58,
+    )
+
+    from ddo_tpu.models.tsptw import TsptwDominance, TsptwWidth
+
+    lg = tw_read(f"{R}/tsptw/Langevin/N20ft301.dat")
+    lg_bundle = ModelBundle(lg, TsptwRelax(lg), TsptwRanking())
+    tto["tsptw_N20ft301"] = time_to_optimal(
+        "tsptw_N20ft301",
+        lambda: ddo_tpu.SequentialSolver(
+            lg_bundle, width_heu=TsptwWidth(lg.nb_variables, 1), batch=8,
+            cache=SimpleCache(), cutset_type=ddo_tpu.FRONTIER,
+            dominance=SimpleDominanceChecker(TsptwDominance(), lg.nb_variables),
+            buffer_width=max(64, lg.nb_variables),
+        ),
+        -6616000,
+    )
+    extra["time_to_optimal_s"] = tto
 
     print(
         json.dumps(
             {
                 "metric": "mdd_node_expansions_per_sec",
-                "value": round(rate),
+                "value": round(rate_kp),
                 "unit": "nodes/s",
-                "vs_baseline": round(rate / RUST_REFERENCE_EXPANSIONS_PER_SEC, 3),
+                "vs_baseline": round(rate_kp / RUST_REFERENCE_EXPANSIONS_PER_SEC, 3),
+                "extra": extra,
             }
         )
     )

@@ -30,11 +30,15 @@ import numpy as np
 from ddo_tpu.core.types import SubProblem, Threshold
 
 
+#: snapshot tables always have exactly this many rows: every distinct
+#: table size is a fresh XLA trace (and live executable) of the whole
+#: compile kernel, so one fixed size bounds both at the cost of padded
+#: compares on small stores
+TABLE_ROWS = 256
+
+
 def _bucket(n: int, lo: int = 64) -> int:
-    """Table sizes are quantized to {64, 512}: every distinct size is a
-    fresh XLA trace of the whole compile kernel, so two buckets bound the
-    retraces at the cost of some padded compares."""
-    return lo if n <= lo else 512
+    return TABLE_ROWS
 
 
 class Cache:
@@ -50,7 +54,7 @@ class Cache:
     def update_batch(self, depths, keys_cols, thetas, explored):
         pass
 
-    def snapshot(self, cap: int = 512):
+    def snapshot(self, cap: int = TABLE_ROWS):
         """Device filter tables or None (no filtering)."""
         return None
 
@@ -150,7 +154,7 @@ class SimpleCache(Cache):
             self._vals[d][cnt : cnt + m] = vals
         self._count[d] = cnt + m
 
-    def snapshot(self, cap: int = 512):
+    def snapshot(self, cap: int = TABLE_ROWS):
         """Build [n+1, T, K] device filter tables (strongest `cap`
         thresholds per depth); None while the cache is empty."""
         if self._snapshot is not None:

@@ -36,9 +36,11 @@ class DominanceCheckResult:
     threshold: Optional[int]
 
 
+from ddo_tpu.search.cache import TABLE_ROWS
+
+
 def _bucket(n: int, lo: int = 64) -> int:
-    """Quantized to {64, 512} — see cache._bucket."""
-    return lo if n <= lo else 512
+    return TABLE_ROWS  # fixed table size — see cache.TABLE_ROWS
 
 
 class DominanceChecker:
@@ -57,7 +59,7 @@ class DominanceChecker:
     def insert_batch(self, depths, keys, coords, values):
         pass
 
-    def snapshot(self, cap: int = 512):
+    def snapshot(self, cap: int = TABLE_ROWS):
         return None
 
 
@@ -211,7 +213,7 @@ class SimpleDominanceChecker(DominanceChecker):
         return DominanceCheckResult(False, None)
 
     # ------------------------------------------------------------- snapshot
-    def snapshot(self, cap: int = 512):
+    def snapshot(self, cap: int = TABLE_ROWS):
         """[n+1, T, ...] device tables for in-compilation filtering."""
         if self._snapshot is not None:
             return self._snapshot

@@ -20,7 +20,7 @@ BUDGET = int(os.environ.get("DDO_TEST_BUDGET", "180"))
 # suite drops compiled programs periodically.  Instance-shared jit caches
 # (ModelBundle.static_key) keep the distinct-program count per family tiny,
 # so clearing can be rare enough not to forfeit the sharing win.
-_CLEAR_EVERY = 40
+_CLEAR_EVERY = 10
 _counter = {"n": 0}
 
 
