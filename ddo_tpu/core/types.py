@@ -81,13 +81,21 @@ class SubProblem:
 
 
 def root_subproblem(problem) -> SubProblem:
-    """Builds the root subproblem (sequential.rs:315-323)."""
+    """Builds the root subproblem (sequential.rs:315-323).
+
+    The canonical subproblem key is the engine's packed int32 key columns
+    (`problem.pack`), so fringe dedup and the barrier cache agree with
+    the keys the compiled planes carry."""
     import jax
+    import jax.numpy as jnp
 
     n = problem.nb_variables
     state = jax.tree_util.tree_map(
         lambda x: np.asarray(x), problem.initial_state(problem.data)
     )
+    key = np.asarray(
+        problem.pack(jax.tree_util.tree_map(jnp.asarray, state)), np.int32
+    ).tobytes()
     return SubProblem(
         state=state,
         value=int(problem.initial_value(problem.data)),
@@ -95,7 +103,7 @@ def root_subproblem(problem) -> SubProblem:
         path_set=np.zeros(n, bool),
         ub=INF,
         depth=0,
-        key=state_key_bytes(state),
+        key=key,
     )
 
 

@@ -108,11 +108,13 @@ class MeshCompiler:
             spec, self.bundle.datas, states, values, depths, actives,
             best_lb, widths, psets, cache_tab=cache_tab, dom_tab=dom_tab,
         )
-        outs = jax.tree_util.tree_map(np.asarray, out)
-        views = []
-        for k, sub in enumerate(subs):
-            lane = jax.tree_util.tree_map(lambda a: a[k], outs)
-            views.append(CompiledDD(spec, lane, sub))
+        from ddo_tpu.engine.mdd import _BatchPlanes, _LaneView
+
+        batch = _BatchPlanes(out)
+        views = [
+            CompiledDD(spec, _LaneView(batch, k), sub)
+            for k, sub in enumerate(subs)
+        ]
         return views, int(global_best), int(total_expanded)
 
     def compile_batch(self, comp_type, subs, best_lb, eff_widths,

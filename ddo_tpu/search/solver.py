@@ -307,22 +307,39 @@ class SequentialSolver:
             self.dominance.insert_batch(*dd.exact_nodes_batch())
 
     def _enqueue_cutset(self, node, dd):
-        """sequential.rs:403-416.  Dominance insertion already happened in
-        _absorb_dominance (or, pre-filtering, happens here); dominated
-        nodes are skipped before touching the fringe."""
-        insert = not (self.filtering and self.dominance.dom is not None)
-        for sub in dd.drain_cutset():
-            sub.ub = min(node.ub, sub.ub)
-            if sub.ub <= self.best_lb:
-                continue
-            if insert:
+        """sequential.rs:403-416, vectorized: cutset extraction, ub
+        tightening and dominance probing happen on numpy row batches;
+        states are reconstructed from the packed keys (`problem.unpack`)
+        only for the rows that actually enter the fringe, so the big
+        [n+1, W, state] plane is never fetched from device."""
+        in_compile_dom = (
+            self.filtering and self.dominance.dom is not None and "dkey" in dd.o
+        )
+        batch = dd.cutset_batch(with_dom=in_compile_dom)
+        keys, depths, values, ubs, pvals, psets = batch[:6]
+        if len(depths) == 0:
+            return
+        ubs = np.minimum(ubs, node.ub)
+        keep = ubs > self.best_lb
+        if in_compile_dom:
+            # insertion happened in _absorb_dominance; check-only probe
+            keep &= ~self.dominance.is_dominated_batch(
+                depths, batch[6], batch[7], values
+            )
+        sel = np.flatnonzero(keep)
+        for i in sel:
+            state = self.problem.unpack(keys[i])
+            if not in_compile_dom:
                 res = self.dominance.is_dominated_or_insert(
-                    sub.state, sub.key, sub.depth, sub.value
+                    state, keys[i].tobytes(), int(depths[i]), int(values[i])
                 )
                 if res.dominated:
                     continue
-            elif self.dominance.is_dominated(sub.state, sub.depth, sub.value):
-                continue
+            sub = SubProblem(
+                state=state, value=int(values[i]), path_vals=pvals[i],
+                path_set=psets[i], ub=int(ubs[i]), depth=int(depths[i]),
+                key=np.ascontiguousarray(keys[i], np.int32).tobytes(),
+            )
             before = len(self.fringe)
             self.fringe.push(sub)
             self.open_by_layer[sub.depth] += len(self.fringe) - before

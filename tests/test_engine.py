@@ -195,9 +195,9 @@ def apply_cache(dd, cache):
 
 
 def dummy_key(value, depth):
-    return state_key_bytes(
-        dict(value=np.asarray(value, np.int32), depth=np.asarray(depth, np.int32))
-    )
+    # canonical packed key: default pack flattens dict leaves in sorted
+    # order (depth, value) as int32 columns
+    return np.asarray([depth, value], np.int32).tobytes()
 
 
 @pytest.mark.parametrize(
@@ -328,7 +328,7 @@ def _cutset_by_state(dd):
 
 
 def _locb_key(code):
-    return state_key_bytes(np.asarray(code, np.int32))
+    return np.asarray([code], np.int32).tobytes()  # default pack: int32 cols
 
 
 def test_relaxed_computes_local_bounds_and_thresholds_lel():
@@ -623,3 +623,22 @@ def test_equal_entry_does_not_dominate():
     # within-layer pass still prunes v0,v1 (dominated by v2)
     assert dd.o["mask"][1].sum() == 1
     assert dd.best_value() == 6
+
+
+def test_cache_keys_match_subproblem_keys():
+    """Regression: the barrier cache and the fringe/pop path must agree on
+    the canonical key encoding (packed int32 columns) — a mismatch makes
+    pop-time must_explore silently dead."""
+    pb, bundle = dummy_bundle()
+    cache = SimpleCache()
+    cache.initialize(pb)
+    dd = compile_dd(bundle, CompilationType.RELAXED, 1)
+    cache.update_batch(*dd.cache_batch())
+    subs = list(dd.drain_cutset())
+    assert subs
+    hits = [cache.get_threshold(s.key, s.depth) for s in subs]
+    assert any(h is not None for h in hits)
+    # and the root subproblem's key matches the engine's root-layer key
+    root = root_subproblem(pb)
+    assert root.key == np.ascontiguousarray(
+        dd.o["keys"][0, :, 0], np.int32).tobytes()
