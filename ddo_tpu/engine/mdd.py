@@ -150,7 +150,24 @@ def _tree_where_mask(mask, a, b):
 
 def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best_lb,
                    eff_width, root_path_set=None, cache_tab=None, dom_tab=None):
-    """Trace-time body of one DD compilation.  All args but `spec` traced.
+    """Trace-time body of one full DD compilation (forward scan over all
+    layers + finalization).  See `_forward_setup` for the layer semantics
+    and `finalize_kernel` for the backward passes; chunked compilation
+    (DDCompiler.compile_batch with `chunk_layers`) drives the same pieces
+    with host control between chunks so a Cutoff can interrupt."""
+    n = spec.bundle.problem.nb_variables
+    forward_step, init = _forward_setup(
+        spec, datas, root_state, root_value, root_depth, best_lb, eff_width,
+        root_path_set, cache_tab, dom_tab,
+    )
+    scan_out = jax.lax.scan(forward_step, init, jnp.arange(n, dtype=I32))
+    return finalize_kernel(spec, datas, scan_out, best_lb, root_depth)
+
+
+def _forward_setup(spec: DDSpec, datas, root_state, root_value, root_depth, best_lb,
+                   eff_width, root_path_set=None, cache_tab=None, dom_tab=None):
+    """Builds (forward_step, init_carry) for the layer scan.  All args but
+    `spec` traced.
 
     Structured as three `lax.scan`s so every per-layer array is written as a
     stacked scan output (in-place by construction — dynamic row updates into
@@ -696,9 +713,33 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         return (nxt, assigned, lel, expanded, overflow), (y_layer, y_edges, var)
 
     init = (zero_row, root_path_set, LEL_NONE, jnp.asarray(0, I32), jnp.asarray(False))
-    (term, assigned, lel, expanded, overflow), (ys, ye, var_of) = jax.lax.scan(
-        forward_step, init, jnp.arange(n, dtype=I32)
-    )
+    return forward_step, init
+
+
+def finalize_kernel(spec: DDSpec, datas, scan_out, best_lb, root_depth):
+    """Finalization passes over the stacked forward-scan outputs: best
+    node / exactness / cutset planes, the fused local-bounds + thresholds
+    backward sweep, and the packed key planes.  Split from the forward
+    scan so chunked (cutoff-interruptible) compilation can reuse it."""
+    (term, assigned, lel, expanded, overflow), (ys, ye, var_of) = scan_out
+    problem = spec.bundle.problem
+    rlx = spec.bundle.relaxation
+    n = problem.nb_variables
+    W = spec.width
+    comp = spec.comp_type
+    best_lb = jnp.asarray(best_lb, VALUE_DTYPE)
+    root_depth = jnp.asarray(root_depth, I32)
+    dom = spec.dominance
+    t0 = jax.tree_util.tree_map(lambda a: a[0], term["state"])
+    use_dom = dom is not None and dom.key_cols(t0) is not None
+    v_pack = jax.vmap(problem.pack)
+    if use_dom:
+        v_dkey = jax.vmap(
+            lambda s: jnp.atleast_1d(jnp.asarray(dom.key_cols(s), I32))
+        )
+        v_dcoord = jax.vmap(
+            lambda s: jnp.atleast_1d(jnp.asarray(dom.coord_cols(s), I32))
+        )
 
     # Perf-bisection hook: DD_STAGE={fwd,locb,thresh} truncates the kernel
     # after that pass (trace-time only; used by perf tooling, not solvers).
@@ -827,6 +868,46 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         out["dkey"] = jnp.swapaxes(jax.vmap(v_dkey)(S_state), -1, -2)
         out["dcoord"] = jnp.swapaxes(jax.vmap(v_dcoord)(S_state), -1, -2)
     return out
+
+
+class CutoffInterrupt(Exception):
+    """Raised by chunked compilation when the Cutoff fires mid-compile —
+    the TPU analogue of `Err(Reason::CutoffOccurred)` from inside
+    `_compile` (clean.rs:352-354)."""
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def _forward_chunk_vjit(spec, datas, L, first, i0, carries, root_states,
+                        root_values, root_depths, best_lb, eff_widths, rpss,
+                        cache_tab=None, dom_tab=None):
+    """One K-lane forward chunk: scan layers [i0, i0+L).  `first` builds
+    the initial carries in-kernel (their structure depends on the spec)."""
+
+    def one(carry, rs, rv, rd, ew, ps):
+        fstep, init = _forward_setup(
+            spec, datas, rs, rv, rd, best_lb, ew, ps, cache_tab, dom_tab
+        )
+        return jax.lax.scan(
+            fstep, init if first else carry, i0 + jnp.arange(L, dtype=I32)
+        )
+
+    return jax.vmap(one)(carries, root_states, root_values, root_depths,
+                         eff_widths, rpss)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _finalize_vjit(spec, datas, carries, ys_chunks, ye_chunks, var_chunks,
+                   root_depths, best_lb):
+    """K-lane finalization over concatenated chunk outputs."""
+
+    def one(carry, ys, ye, var_of, rd):
+        return finalize_kernel(spec, datas, (carry, (ys, ye, var_of)),
+                               best_lb, rd)
+
+    ys = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=1), *ys_chunks)
+    ye = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=1), *ye_chunks)
+    var_of = jnp.concatenate(var_chunks, axis=1)
+    return jax.vmap(one)(carries, ys, ye, var_of, root_depths)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -1125,8 +1206,15 @@ class DDCompiler:
         return CompiledDD(spec, out, sub)
 
     def compile_batch(self, comp_type: CompilationType, subs, best_lb: int,
-                      eff_widths, cache_tab=None, dom_tab=None) -> list:
-        """Compile K DDs in one vmapped XLA call; returns per-lane views."""
+                      eff_widths, cache_tab=None, dom_tab=None,
+                      cutoff=None, chunk_layers=None) -> list:
+        """Compile K DDs in one vmapped XLA call; returns per-lane views.
+
+        With `chunk_layers` set and a `cutoff` given, the forward scan is
+        dispatched in chunks of that many layers with the cutoff polled
+        between chunks — the reference polls per layer (clean.rs:352-354);
+        this bounds an unkillable device call to one chunk.  Raises
+        `CutoffInterrupt` when the cutoff fires mid-compile."""
         spec = self._specs[comp_type]
         states = jax.tree_util.tree_map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
@@ -1136,12 +1224,49 @@ class DDCompiler:
         depths = jnp.asarray([s.depth for s in subs], I32)
         widths = jnp.asarray(eff_widths, I32)
         psets = jnp.asarray(np.stack([s.path_set for s in subs]))
-        out = _compile_vjit(
-            spec, self.bundle.datas, states, values, depths, best_lb, widths,
-            psets, cache_tab=cache_tab, dom_tab=dom_tab,
-        )
+        n = self.bundle.problem.nb_variables
+        if chunk_layers and cutoff is not None and n > chunk_layers:
+            out = self._compile_chunked(
+                spec, states, values, depths, best_lb, widths, psets,
+                cache_tab, dom_tab, cutoff, int(chunk_layers),
+            )
+        else:
+            out = _compile_vjit(
+                spec, self.bundle.datas, states, values, depths, best_lb,
+                widths, psets, cache_tab=cache_tab, dom_tab=dom_tab,
+            )
         batch = _BatchPlanes(out)
         return [
             CompiledDD(spec, _LaneView(batch, k), sub)
             for k, sub in enumerate(subs)
         ]
+
+    def _compile_chunked(self, spec, states, values, depths, best_lb, widths,
+                         psets, cache_tab, dom_tab, cutoff, L):
+        datas = self.bundle.datas
+        n = self.bundle.problem.nb_variables
+        K = values.shape[0]
+        carries = jnp.zeros((K,), I32)  # dummy; first chunk builds in-kernel
+        ys_chunks, ye_chunks, var_chunks = [], [], []
+        i0, first = 0, True
+        while i0 < n:
+            if cutoff.must_stop():
+                raise CutoffInterrupt()
+            Lc = min(L, n - i0)
+            carries, (ys_c, ye_c, var_c) = _forward_chunk_vjit(
+                spec, datas, Lc, first, jnp.asarray(i0, I32), carries,
+                states, values, depths, best_lb, widths, psets,
+                cache_tab=cache_tab, dom_tab=dom_tab,
+            )
+            # block so the poll above actually bounds device work
+            jax.block_until_ready(carries[3])
+            ys_chunks.append(ys_c)
+            ye_chunks.append(ye_c)
+            var_chunks.append(var_c)
+            i0, first = i0 + Lc, False
+        if cutoff.must_stop():
+            raise CutoffInterrupt()
+        return _finalize_vjit(
+            spec, datas, carries, tuple(ys_chunks), tuple(ye_chunks),
+            tuple(var_chunks), depths, best_lb,
+        )
