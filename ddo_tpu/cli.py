@@ -19,6 +19,27 @@ import sys
 import time
 
 
+DOMINANCE = {}  # problem name -> Dominance factory (reference parity)
+
+
+def _dominance_for(problem, pb):
+    """The per-problem dominance relation the reference's main.rs wires in
+    (knapsack, tsptw, alp, lcs); None elsewhere."""
+    if problem == "knapsack":
+        from ddo_tpu.models.knapsack import KPDominance
+        return KPDominance()
+    if problem == "tsptw":
+        from ddo_tpu.models.tsptw import TsptwDominance
+        return TsptwDominance()
+    if problem == "alp":
+        from ddo_tpu.models.alp import AlpDominance
+        return AlpDominance()
+    if problem == "lcs":
+        from ddo_tpu.models.lcs import LcsDominance
+        return LcsDominance()
+    return None
+
+
 def build(problem: str, instance: str):
     """Returns (problem, bundle, width_heu_default, objective_transform)."""
     from ddo_tpu import FixedWidth, ModelBundle, NbUnassignedWidth
@@ -115,6 +136,10 @@ def main(argv=None):
                         help="time budget in seconds")
     parser.add_argument("--cutset", choices=["lel", "frontier"], default="lel")
     parser.add_argument("--no-cache", action="store_true")
+    parser.add_argument("--no-dominance", action="store_true",
+                        help="disable the problem's dominance relation")
+    parser.add_argument("--no-filtering", action="store_true",
+                        help="disable in-compilation cache/dominance filtering")
     parser.add_argument("--cpu", action="store_true", help="run on CPU")
     parser.add_argument("--dot", default=None,
                         help="write a relaxed-DD graphviz dot of the root")
@@ -127,11 +152,14 @@ def main(argv=None):
     jax.config.update("jax_compilation_cache_dir", "/tmp/ddo_tpu_jax_cache")
 
     import ddo_tpu
-    from ddo_tpu import FixedWidth, NoCutoff, SimpleCache, TimeBudget
+    from ddo_tpu import (
+        FixedWidth, NoCutoff, SimpleCache, SimpleDominanceChecker, TimeBudget,
+    )
 
     pb, bundle, width_heu, transform = build(args.problem, args.instance)
     if args.width is not None:
         width_heu = FixedWidth(args.width)
+    dom = None if args.no_dominance else _dominance_for(args.problem, pb)
 
     solver = ddo_tpu.SequentialSolver(
         bundle,
@@ -142,6 +170,10 @@ def main(argv=None):
             ddo_tpu.LAST_EXACT_LAYER if args.cutset == "lel" else ddo_tpu.FRONTIER
         ),
         cutoff=TimeBudget(args.duration) if args.duration else NoCutoff(),
+        dominance=(
+            SimpleDominanceChecker(dom, pb.nb_variables) if dom else None
+        ),
+        in_compile_filtering=not args.no_filtering,
     )
 
     start = time.time()
