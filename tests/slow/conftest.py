@@ -14,7 +14,9 @@ import jax
 import pytest
 
 
-BUDGET = int(os.environ.get("DDO_TEST_BUDGET", "180"))
+# Default 240s: measured headroom for the heaviest non-#[ignore] rows
+# (brock200_2 MISP solves exactly in ~90-190s depending on machine load).
+BUDGET = int(os.environ.get("DDO_TEST_BUDGET", "240"))
 
 # XLA:CPU's JIT segfaults after accumulating ~90 live executables, so the
 # suite drops compiled programs periodically.  Instance-shared jit caches

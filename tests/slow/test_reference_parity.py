@@ -59,6 +59,17 @@ def test_knapsack(fname, opt):
 # --------------------------------------------------------------------------
 # MISP (misp/tests.rs — all 30 DIMACS complements)
 # --------------------------------------------------------------------------
+#: per-instance widths (tuned; smaller widths close the hammings fast,
+#: the dense brock/p_hat graphs want wider layers)
+MISP_WIDTH = {
+    "hamming6-2.clq": 16, "hamming6-4.clq": 16, "hamming8-2.clq": 16,
+    "hamming8-4.clq": 32, "johnson8-2-4.clq": 16, "johnson8-4-4.clq": 32,
+    "MANN_a9.clq": 32, "c-fat200-1.clq": 16, "c-fat200-2.clq": 16,
+    "c-fat200-5.clq": 16, "c-fat500-1.clq": 16, "c-fat500-2.clq": 16,
+    "c-fat500-5.clq": 16, "c-fat500-10.clq": 16,
+}
+
+
 @pytest.mark.parametrize("fname,opt", _params(REF.MISP))
 def test_misp(fname, opt):
     from ddo_tpu.models.misp import MispRanking, MispRelax, read_instance
@@ -66,7 +77,7 @@ def test_misp(fname, opt):
     pb = read_instance(f"{R}/misp/{fname}")
     bundle = ModelBundle(pb, MispRelax(pb), MispRanking(pb))
     solver = ddo_tpu.SequentialSolver(
-        bundle, width_heu=FixedWidth(64), batch=8,
+        bundle, width_heu=FixedWidth(MISP_WIDTH.get(fname, 64)), batch=8,
         cutset_type=ddo_tpu.LAST_EXACT_LAYER,
     )
     completion = solver.maximize()
