@@ -77,37 +77,65 @@ class EmptyCache(Cache):
 
 
 class SimpleCache(Cache):
-    """Per-depth threshold store (cache/simple.rs:36-74)."""
+    """Per-depth threshold store (cache/simple.rs:36-74).
 
-    #: per-depth array capacity for the device snapshot tables
+    Dict-free by design: records live ONLY in bounded per-depth numpy
+    arrays (duplicate rows allowed — lookups take the lexicographic max
+    of (value, explored), which IS the reference's monotone `better_of`
+    rule).  `update_batch` is therefore pure vectorized appends (the
+    per-row Python dict insertion was the measured host bottleneck of
+    TSPTW supersteps), and `must_explore` probes are one [cnt, K] row
+    compare — pops are few per superstep.  Capacity eviction drops the
+    weakest thresholds: weaker pruning, never wrong."""
+
+    #: per-depth array capacity (snapshot tables select the top TABLE_ROWS)
     TABLE_CAP = 2048
 
     def __init__(self):
-        self._by_depth = []
         self._keys = []  # per depth: np.int32 [cap, K] (lazy)
         self._vals = []  # per depth: np.int32 [cap]
+        self._expl = []  # per depth: np.uint8 [cap]
         self._count = []
         self._snapshot = None  # cached built tables (invalidated on write)
 
     def initialize(self, problem):
         n = problem.nb_variables
-        self._by_depth = [dict() for _ in range(n + 1)]
         self._keys = [None] * (n + 1)
         self._vals = [None] * (n + 1)
+        self._expl = [None] * (n + 1)
         self._count = [0] * (n + 1)
         self._snapshot = None
 
+    @staticmethod
+    def _key_row(key: bytes):
+        """bytes -> int32 row (zero-padded to alignment; keys are fixed
+        width within one problem so padding stays injective)."""
+        if len(key) % 4:
+            key = key + b"\0" * (4 - len(key) % 4)
+        return np.frombuffer(key, np.int32)
+
     def get_threshold(self, key, depth):
-        if depth >= len(self._by_depth):
+        if depth >= len(self._count) or self._count[depth] == 0:
             return None
-        return self._by_depth[depth].get(key)
+        cnt = self._count[depth]
+        row = self._key_row(key)
+        if self._keys[depth].shape[1] != row.shape[0]:
+            return None
+        hit = np.all(self._keys[depth][:cnt] == row[None, :], axis=1)
+        if not hit.any():
+            return None
+        vals = self._vals[depth][:cnt][hit]
+        expl = self._expl[depth][:cnt][hit]
+        best = np.lexsort((expl, vals))[-1]  # max (value, explored)
+        return Threshold(int(vals[best]), bool(expl[best]))
 
     def update_threshold(self, key, depth, value, explored):
-        # monotone max update (cache/simple.rs:62-66)
-        new = Threshold(value, explored)
-        layer = self._by_depth[depth]
-        cur = layer.get(key)
-        layer[key] = new if cur is None else cur.better_of(new)
+        # monotone max update (cache/simple.rs:62-66): appending a row and
+        # taking the per-key max at lookup is equivalent
+        row = self._key_row(key).reshape(1, -1)
+        self._snapshot = None
+        self._append_rows(depth, row, np.asarray([value], np.int32),
+                          np.asarray([explored], np.uint8))
 
     # ------------------------------------------------- batched/array surface
     def update_batch(self, depths, keys_cols, thetas, explored):
@@ -118,40 +146,42 @@ class SimpleCache(Cache):
             return
         self._snapshot = None
         keys_cols = np.ascontiguousarray(keys_cols, np.int32)
-        for i in range(len(depths)):
-            d = int(depths[i])
-            self.update_threshold(
-                keys_cols[i].tobytes(), d, int(thetas[i]), bool(explored[i])
-            )
-        # array tables: bulk append per depth, compact on overflow
         order = np.argsort(depths, kind="stable")
         ds = np.asarray(depths)[order]
         ks = keys_cols[order]
         ts = np.asarray(thetas, np.int32)[order]
+        ex = np.asarray(explored, np.uint8)[order]
         starts = np.flatnonzero(np.diff(ds, prepend=-1))
         for s, e in zip(starts, list(starts[1:]) + [len(ds)]):
-            self._append_rows(int(ds[s]), ks[s:e], ts[s:e])
+            self._append_rows(int(ds[s]), ks[s:e], ts[s:e], ex[s:e])
 
-    def _append_rows(self, d, rows, vals):
+    def _append_rows(self, d, rows, vals, expl):
         K = rows.shape[1]
         cap = self.TABLE_CAP
         if self._keys[d] is None:
             self._keys[d] = np.zeros((cap, K), np.int32)
             self._vals[d] = np.zeros(cap, np.int32)
+            self._expl[d] = np.zeros(cap, np.uint8)
         cnt = self._count[d]
         m = len(rows)
+        if m > cap // 2:  # one giant batch: keep its strongest rows
+            sel = np.argpartition(-vals, cap // 2 - 1)[: cap // 2]
+            rows, vals, expl = rows[sel], vals[sel], expl[sel]
+            m = len(rows)
         if cnt + m > cap:
             # keep the strongest thresholds (drop = weaker pruning, sound)
             allk = np.concatenate([self._keys[d][:cnt], rows])
             allv = np.concatenate([self._vals[d][:cnt], vals])
+            alle = np.concatenate([self._expl[d][:cnt], expl])
             keep = np.argpartition(-allv, cap // 2)[: cap // 2]
             self._keys[d][: len(keep)] = allk[keep]
             self._vals[d][: len(keep)] = allv[keep]
-            cnt = len(keep)
-            m = 0
-        else:
-            self._keys[d][cnt : cnt + m] = rows
-            self._vals[d][cnt : cnt + m] = vals
+            self._expl[d][: len(keep)] = alle[keep]
+            self._count[d] = len(keep)
+            return
+        self._keys[d][cnt : cnt + m] = rows
+        self._vals[d][cnt : cnt + m] = vals
+        self._expl[d][cnt : cnt + m] = expl
         self._count[d] = cnt + m
 
     def snapshot(self, cap: int = TABLE_ROWS):
@@ -185,13 +215,10 @@ class SimpleCache(Cache):
         return self._snapshot
 
     def clear_layer(self, depth):
-        if depth < len(self._by_depth):
-            self._by_depth[depth].clear()
+        if depth < len(self._count):
             self._count[depth] = 0
             self._snapshot = None
 
     def clear(self):
-        for layer in self._by_depth:
-            layer.clear()
         self._count = [0] * len(self._count)
         self._snapshot = None

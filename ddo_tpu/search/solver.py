@@ -578,15 +578,9 @@ class NativeSolver:
         depths, keys, thetas, explored = dd.cache_batch()
         self.ns.cache_update_batch(depths, keys, thetas, explored)
         if self._cache_tables is not None and len(depths):
-            # feed only the array tables (the C++ cache answers must_explore)
-            self._cache_tables._snapshot = None
-            order = np.argsort(depths, kind="stable")
-            ds = depths[order]
-            ks = np.ascontiguousarray(keys, np.int32)[order]
-            ts = np.asarray(thetas, np.int32)[order]
-            starts = np.flatnonzero(np.diff(ds, prepend=-1))
-            for s, e in zip(starts, list(starts[1:]) + [len(ds)]):
-                self._cache_tables._append_rows(int(ds[s]), ks[s:e], ts[s:e])
+            # feed the array tables too (the C++ cache answers must_explore;
+            # the snapshot tables feed in-compilation filtering)
+            self._cache_tables.update_batch(depths, keys, thetas, explored)
 
     def _absorb_dominance(self, dd):
         if self.dominance is None or not self.filtering or "dkey" not in dd.o:
