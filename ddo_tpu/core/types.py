@@ -75,6 +75,10 @@ class SubProblem:
     ub: int
     depth: int
     key: bytes = b""  # canonical state key (set by the engine/solver)
+    #: dominance key/coord columns captured from the compiled planes at
+    #: enqueue time (saves per-pop hook evaluations); None = evaluate hooks
+    dom_key: Optional[np.ndarray] = None
+    dom_coords: Optional[np.ndarray] = None
 
     def solution_values(self) -> np.ndarray:
         return np.asarray(self.path_vals, dtype=np.int64)

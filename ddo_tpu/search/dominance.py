@@ -166,6 +166,14 @@ class SimpleDominanceChecker(DominanceChecker):
         res = self._dominators(depth, kcols, ccols, int(value))
         return res is not None and bool(res[0].any())
 
+    def is_dominated_cols(self, kcols, ccols, depth, value) -> bool:
+        """Check-only probe from pre-computed columns (no hook calls)."""
+        res = self._dominators(
+            int(depth), np.asarray(kcols, np.int32),
+            np.asarray(ccols, np.int32), int(value),
+        )
+        return res is not None and bool(res[0].any())
+
     def is_dominated_batch(self, depths, keys, coords, values):
         """Vectorized check-only probe over row batches: bool[M] mask of
         strictly-dominated rows (no insertion)."""

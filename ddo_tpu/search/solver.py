@@ -238,10 +238,17 @@ class SequentialSolver:
                 # node that became dominated since its enqueue when the DD
                 # root layer passes _filter_with_dominance (clean.rs:674);
                 # our root layer is injected unfiltered, so probe here
-                if self.filtering and self.dominance.is_dominated(
-                    node.state, node.depth, node.value
-                ):
-                    continue
+                if self.filtering and self.dominance.dom is not None:
+                    if node.dom_key is not None:
+                        dominated = self.dominance.is_dominated_cols(
+                            node.dom_key, node.dom_coords, node.depth, node.value
+                        )
+                    else:
+                        dominated = self.dominance.is_dominated(
+                            node.state, node.depth, node.value
+                        )
+                    if dominated:
+                        continue
                 batch.append(node)
             if batch:
                 return batch
@@ -357,6 +364,8 @@ class SequentialSolver:
                 state=state, value=int(values[i]), path_vals=pvals[i],
                 path_set=psets[i], ub=int(ubs[i]), depth=int(depths[i]),
                 key=np.ascontiguousarray(keys[i], np.int32).tobytes(),
+                dom_key=batch[6][i] if in_compile_dom else None,
+                dom_coords=batch[7][i] if in_compile_dom else None,
             )
             before = len(self.fringe)
             self.fringe.push(sub)
