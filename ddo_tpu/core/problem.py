@@ -76,13 +76,30 @@ class Problem:
     #: them so same-shape instances of one family share compiled kernels
     _trace_statics: tuple = ()
 
+    #: OPT-IN to cross-instance kernel sharing (ADVICE r2, medium).
+    #: Setting this True asserts a strict contract for the WHOLE bundle
+    #: (problem + relaxation + ranking + dominance): every traced hook
+    #: routes ALL instance data through the traced `data` pytrees or the
+    #: root state, and every trace-relevant scalar read off `self` is
+    #: listed in `_trace_statics`.  A hook that closes over an unlisted
+    #: instance array/scalar would get ANOTHER instance's constants baked
+    #: into the shared kernel — silent wrong answers.  When False
+    #: (default), trace identity is per-instance (id-based): always safe,
+    #: but every instance recompiles the engine.  All bundled models set
+    #: it True (they follow the contract; the parity suites would compile
+    #: hundreds of kernels otherwise).
+    shares_traces: bool = False
+
     def static_key(self):
         """Trace-identity key: instances with equal keys (and equal data
         SHAPES) share one jitted compilation — e.g. every TSPTW Langevin
         n=20 instance compiles the engine once.  Host-only attrs (like a
         knapsack's capacity, which reaches the kernel via the traced root
         state) must NOT be listed in `_trace_statics` or sharing is lost;
-        trace-relevant scalars MUST be, or sharing would be wrong."""
+        trace-relevant scalars MUST be, or sharing would be wrong.  Only
+        honored when the class opts in via `shares_traces` (see above)."""
+        if not self.shares_traces:
+            return (type(self), id(self))
         return (
             type(self), self.nb_variables, self.domain_size,
             tuple(getattr(self, a, None) for a in self._trace_statics),
@@ -234,6 +251,13 @@ class Dominance:
 
     `use_value` includes the node value as the last comparison dimension
     (and enables pruning thresholds, dominance.rs:57-79).
+
+    PURITY REQUIREMENT (ADVICE r2): the device hooks are closed over the
+    instance inside shared compile kernels with no traced-data channel —
+    they MUST be pure functions of (state, scalars listed in
+    `_trace_statics`).  A Dominance holding unlisted per-instance arrays
+    would have them baked as constants into kernels shared across
+    instances of a `shares_traces` bundle.
     """
 
     use_value: bool = False

@@ -34,6 +34,9 @@ DUMMY = -1
 
 
 class Alp(Problem):
+    #: bundled model: all hooks route instance data through `data`
+    #: pytrees / root state; trace-relevant scalars are in _trace_statics
+    shares_traces = True
     _trace_statics = ('nb_classes', 'nb_runways')
     name = "alp"
 

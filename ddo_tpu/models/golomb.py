@@ -31,6 +31,9 @@ KNOWN_OPTIMAL_COSTS = np.array(
 
 
 class Golomb(Problem):
+    #: bundled model: all hooks route instance data through `data`
+    #: pytrees / root state; trace-relevant scalars are in _trace_statics
+    shares_traces = True
     _trace_statics = ('n', 'P')
     name = "golomb"
 

@@ -25,6 +25,9 @@ I32 = jnp.int32
 
 
 class Knapsack(Problem):
+    #: bundled model: all hooks route instance data through `data`
+    #: pytrees / root state; trace-relevant scalars are in _trace_statics
+    shares_traces = True
     name = "knapsack"
 
     def __init__(self, capacity: int, profit, weight):

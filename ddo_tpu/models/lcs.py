@@ -38,6 +38,9 @@ def _lcs_table(a, b):
 
 
 class Lcs(Problem):
+    #: bundled model: all hooks route instance data through `data`
+    #: pytrees / root state; trace-relevant scalars are in _trace_statics
+    shares_traces = True
     _trace_statics = ('n_strings', 'n_chars')
     name = "lcs"
 

@@ -26,6 +26,9 @@ T, F = 1, -1
 
 
 class Max2Sat(Problem):
+    #: bundled model: all hooks route instance data through `data`
+    #: pytrees / root state; trace-relevant scalars are in _trace_statics
+    shares_traces = True
     name = "max2sat"
 
     def __init__(self, nb_vars: int, clauses):

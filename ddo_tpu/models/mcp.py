@@ -27,6 +27,9 @@ S, T = 1, -1
 
 
 class Mcp(Problem):
+    #: bundled model: all hooks route instance data through `data`
+    #: pytrees / root state; trace-relevant scalars are in _trace_statics
+    shares_traces = True
     name = "mcp"
 
     def __init__(self, nb_vars: int, edges):

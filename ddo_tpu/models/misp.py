@@ -29,6 +29,9 @@ I32 = jnp.int32
 
 
 class Misp(Problem):
+    #: bundled model: all hooks route instance data through `data`
+    #: pytrees / root state; trace-relevant scalars are in _trace_statics
+    shares_traces = True
     name = "misp"
 
     def __init__(self, nb_vars: int, edges, weight=None):

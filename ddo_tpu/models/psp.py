@@ -63,6 +63,9 @@ def _greedy_mst_table(changeover):
 
 
 class Psp(Problem):
+    #: bundled model: all hooks route instance data through `data`
+    #: pytrees / root state; trace-relevant scalars are in _trace_statics
+    shares_traces = True
     _trace_statics = ('n_items', 'horizon')
     name = "psp"
 

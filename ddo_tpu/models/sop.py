@@ -30,6 +30,9 @@ I32 = jnp.int32
 
 
 class Sop(Problem):
+    #: bundled model: all hooks route instance data through `data`
+    #: pytrees / root state; trace-relevant scalars are in _trace_statics
+    shares_traces = True
     _trace_statics = ('nb_jobs',)
     name = "sop"
 

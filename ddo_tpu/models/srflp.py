@@ -32,6 +32,9 @@ F32 = jnp.float32
 
 
 class Srflp(Problem):
+    #: bundled model: all hooks route instance data through `data`
+    #: pytrees / root state; trace-relevant scalars are in _trace_statics
+    shares_traces = True
     name = "srflp"
 
     def __init__(self, lengths, flows):

@@ -29,6 +29,9 @@ F32 = jnp.float32
 
 
 class TalentSched(Problem):
+    #: bundled model: all hooks route instance data through `data`
+    #: pytrees / root state; trace-relevant scalars are in _trace_statics
+    shares_traces = True
     name = "talentsched"
 
     def __init__(self, nb_scenes, nb_actors, cost, duration, actors):

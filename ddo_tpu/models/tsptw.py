@@ -37,6 +37,9 @@ I32 = jnp.int32
 
 
 class Tsptw(Problem):
+    #: bundled model: all hooks route instance data through `data`
+    #: pytrees / root state; trace-relevant scalars are in _trace_statics
+    shares_traces = True
     name = "tsptw"
 
     def __init__(self, distances, tw_earliest, tw_latest):

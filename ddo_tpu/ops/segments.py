@@ -98,11 +98,19 @@ def onehot_take_i32(table, idx):
     the same lookup as a `[M, T] @ [T]` one-hot matmul runs on the MXU in
     a fraction of that.  Exact for the full int32 range via a 12-bit
     split (|v >> 12| < 2^20 and v & 0xfff < 2^12 are both f32-exact).
-    `idx` must already be clipped to [0, T)."""
+    `idx` must already be clipped to [0, T).  `table` may be [T] or
+    [T, m] (row gather, one shared one-hot)."""
     T = table.shape[0]
     oh = (idx[:, None] == jax.lax.iota(jnp.int32, T)[None, :]).astype(jnp.float32)
-    hi = jnp.dot(oh, (table >> 12).astype(jnp.float32)).astype(jnp.int32)
-    lo = jnp.dot(oh, (table & 0xFFF).astype(jnp.float32)).astype(jnp.int32)
+    # precision matters: a [M,T]@[T,m] matrix-matrix one-hot hits the MXU,
+    # whose DEFAULT precision is one bf16 pass — 12-bit split values round
+    # and the gather silently corrupts (observed on v5e).  float32 (3-pass)
+    # keeps the 20-bit hi part exact; matrix-VECTOR one-hots lower to VPU
+    # reductions and were exact either way.
+    hi = jnp.dot(oh, (table >> 12).astype(jnp.float32),
+                 precision="float32").astype(jnp.int32)
+    lo = jnp.dot(oh, (table & 0xFFF).astype(jnp.float32),
+                 precision="float32").astype(jnp.int32)
     return hi * 4096 + lo
 
 
@@ -116,8 +124,10 @@ def onehot_scatter_i32(idx, values, size):
     Exact for the full int32 range (negatives included) via the 12-bit
     arithmetic split of `onehot_take_i32`."""
     oh = (idx[:, None] == jax.lax.iota(jnp.int32, size)[None, :]).astype(jnp.float32)
-    hi = jnp.dot((values >> 12).astype(jnp.float32), oh).astype(jnp.int32)
-    lo = jnp.dot((values & 0xFFF).astype(jnp.float32), oh).astype(jnp.int32)
+    hi = jnp.dot((values >> 12).astype(jnp.float32), oh,
+                 precision="float32").astype(jnp.int32)
+    lo = jnp.dot((values & 0xFFF).astype(jnp.float32), oh,
+                 precision="float32").astype(jnp.int32)
     return hi * 4096 + lo
 
 
@@ -125,7 +135,7 @@ def onehot_take_bool(table, idx):
     """`table[idx]` for bool tables via one one-hot f32 MXU contraction."""
     T = table.shape[0]
     oh = (idx[:, None] == jax.lax.iota(jnp.int32, T)[None, :]).astype(jnp.float32)
-    return jnp.dot(oh, table.astype(jnp.float32)) > 0.5
+    return jnp.dot(oh, table.astype(jnp.float32), precision="float32") > 0.5
 
 
 # --------------------------------------------------------------------------
@@ -140,6 +150,19 @@ _ONEHOT_ELEMS = 1 << 22  # max M*T elements for the one-hot intermediate
 
 def take_i32(table, idx):
     """Exact `table[idx]` (idx pre-clipped to [0, T)), size-adaptive."""
+    if table.shape[0] * idx.shape[0] <= _ONEHOT_ELEMS:
+        return onehot_take_i32(table, idx)
+    return jnp.take(table, idx, axis=0)
+
+
+def take_rows_i32(table, idx):
+    """Exact int32 row gather `table[idx, :]` for a [T, m] table, adaptive.
+
+    One [M, T] one-hot is shared by all m columns (two MXU contractions
+    total), so gathering a whole stacked column block costs barely more
+    than one scalar take — the workhorse of the payload-free sort pipeline
+    (engine/mdd.py): sorts carry only keys, every per-candidate column is
+    gathered through the sort permutation afterwards."""
     if table.shape[0] * idx.shape[0] <= _ONEHOT_ELEMS:
         return onehot_take_i32(table, idx)
     return jnp.take(table, idx, axis=0)

@@ -37,10 +37,6 @@ from ddo_tpu.core.types import SubProblem, Threshold
 TABLE_ROWS = 256
 
 
-def _bucket(n: int, lo: int = 64) -> int:
-    return TABLE_ROWS
-
-
 class Cache:
     def initialize(self, problem):
         pass
@@ -193,7 +189,7 @@ class SimpleCache(Cache):
         T = max(counts, default=0)
         if T == 0:
             return None
-        T = _bucket(T)
+        T = TABLE_ROWS
         n1 = len(self._count)
         K = next(k.shape[1] for k in self._keys if k is not None)
         keys = np.zeros((n1, T, K), np.int32)

@@ -39,10 +39,6 @@ class DominanceCheckResult:
 from ddo_tpu.search.cache import TABLE_ROWS
 
 
-def _bucket(n: int, lo: int = 64) -> int:
-    return TABLE_ROWS  # fixed table size — see cache.TABLE_ROWS
-
-
 class DominanceChecker:
     dom: Optional[Dominance] = None
 
@@ -229,7 +225,7 @@ class SimpleDominanceChecker(DominanceChecker):
         T = max(counts, default=0)
         if T == 0:
             return None
-        T = _bucket(T)
+        T = TABLE_ROWS
         n1 = len(self._count)
         KK = next(k.shape[1] for k in self._keys if k is not None)
         CC = next(c.shape[1] for c in self._coords if c is not None)

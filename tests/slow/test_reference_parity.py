@@ -231,36 +231,23 @@ def test_lcs(fname, opt):
 
 
 # --------------------------------------------------------------------------
-# PSP (psp/tests.rs pattern: trailing instance line = known optimum;
-# 100 two-item + 50 five-item + 20 ten-item instances)
+# PSP (psp/tests.rs — ALL 774 asserted optima: 14 2items + 760 5items).
+# The optimum comes from tests.rs, NEVER from the instance file's trailing
+# line: the two can disagree (2items/14 trails 750008 but tests.rs:126
+# asserts 1_250_005 — and the solver agrees with tests.rs).
 # --------------------------------------------------------------------------
-def _solve_psp(path, width):
+@pytest.mark.parametrize("fname,opt", _params(REF.PSP))
+def test_psp(fname, opt):
     from ddo_tpu.models.psp import PspRanking, PspRelax, read_instance
 
-    pb, optimum = read_instance(path)
-    assert optimum is not None
+    pb, _trailing = read_instance(f"{R}/psp/{fname}")
     bundle = ModelBundle(pb, PspRelax(pb), PspRanking())
     solver = ddo_tpu.SequentialSolver(
-        bundle, width_heu=FixedWidth(width), batch=8, cache=ddo_tpu.SimpleCache(),
+        bundle, width_heu=FixedWidth(16), batch=8, cache=ddo_tpu.SimpleCache(),
     )
     completion = solver.maximize()
     assert completion.is_exact
-    assert -solver.best_value() == optimum
-
-
-@pytest.mark.parametrize("idx", list(range(1, 101)))
-def test_psp_2items(idx):
-    _solve_psp(f"{R}/psp/instancesWith2items/{idx}", 8)
-
-
-@pytest.mark.parametrize("idx", list(range(1, 51)))
-def test_psp_5items(idx):
-    _solve_psp(f"{R}/psp/instancesWith5items/{idx}", 16)
-
-
-@pytest.mark.parametrize("idx", list(range(1, 21)))
-def test_psp_10items(idx):
-    _solve_psp(f"{R}/psp/instancesWith10items/{idx}", 32)
+    assert -solver.best_value() == opt
 
 
 # --------------------------------------------------------------------------

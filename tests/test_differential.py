@@ -60,7 +60,12 @@ def test_knapsack_differential(seed):
     assert relaxed.best_value() >= opt
     assert restricted.best_value() is None or restricted.best_value() <= opt
 
-    for cutset, filtering in [(ddo_tpu.FRONTIER, True), (ddo_tpu.LAST_EXACT_LAYER, False)]:
+    # full cutset x filtering matrix (ADVICE r2: the solver default
+    # LAST_EXACT_LAYER + filtering=True had no differential coverage)
+    for cutset, filtering in [
+        (ddo_tpu.FRONTIER, True), (ddo_tpu.FRONTIER, False),
+        (ddo_tpu.LAST_EXACT_LAYER, True), (ddo_tpu.LAST_EXACT_LAYER, False),
+    ]:
         s = ddo_tpu.SequentialSolver(
             bundle, width_heu=FixedWidth(width), batch=2, buffer_width=8,
             cache=SimpleCache(), cutset_type=cutset,

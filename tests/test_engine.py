@@ -42,6 +42,7 @@ I32 = jnp.int32
 class DummyProblem(Problem):
     """clean.rs:2564-2598: 3 vars x domain {0,1,2}, cost = decision value."""
 
+    shares_traces = True  # stateless fixtures: keep one kernel per shape
     name = "dummy"
     nb_variables = 3
     domain_size = 3
@@ -276,6 +277,7 @@ for s, r in [(R, 30), (A, 20), (B, 20), (M, 10), (E, 10), (F, 10)]:
 class LocBoundsExamplePb(Problem):
     """clean.rs:2066-2156: the hand-drawn local-bounds/threshold diagram."""
 
+    shares_traces = True  # module-level tables ride `data`; instances alike
     name = "locbex"
     nb_variables = 4
     domain_size = 3
