@@ -90,6 +90,26 @@ def invert_permutation(perm):
     return jnp.argsort(perm)
 
 
+def seg_broadcast_at_head(head, values):
+    """Carry each run head's value FORWARD down its run (one associative
+    scan over (flag, values) tuples).  Positions before the first head get
+    position 0's value — callers mask invalid rows anyway.
+
+    This replaces per-candidate `table[head_slot]` gathers: a dynamic
+    [C]<-[C] gather costs ~1.5ms/layer at C=2560 on v5e (TPU gathers with
+    data-dependent indices serialize), while this scan is ~0.1ms."""
+
+    def combine(a, b):
+        fa, va = a[0], a[1:]
+        fb, vb = b[0], b[1:]
+        return (fa | fb,) + tuple(
+            jnp.where(fb, y, x) for x, y in zip(va, vb)
+        )
+
+    res = jax.lax.associative_scan(combine, (head,) + tuple(values))
+    return res[1:]
+
+
 def onehot_take_i32(table, idx):
     """Exact `table[idx]` for int32 tables as one-hot f32 MXU contractions.
 
@@ -145,7 +165,11 @@ def onehot_take_bool(table, idx):
 # a multi-GB intermediate (VERDICT r1 weak #3).  Beyond the cap we fall
 # back to native gathers / a bitonic-sort scatter, both O(C log^2 C).
 # --------------------------------------------------------------------------
-_ONEHOT_ELEMS = 1 << 22  # max M*T elements for the one-hot intermediate
+import os as _os
+
+#: max M*T elements for the one-hot intermediate (env-tunable for perf
+#: studies: DDO_ONEHOT_ELEMS=<n>)
+_ONEHOT_ELEMS = int(_os.environ.get("DDO_ONEHOT_ELEMS", 1 << 22))
 
 
 def take_i32(table, idx):
@@ -184,3 +208,14 @@ def scatter_i32(idx, values, size):
         return onehot_scatter_i32(idx, values, size)
     _, out = jax.lax.sort((idx, values), num_keys=1, is_stable=False)
     return out
+
+
+def scatter_multi_i32(idx, values, size):
+    """`scatter_i32` for several value arrays sharing one permutation:
+    ONE inversion network (or one shared one-hot) instead of per-array
+    scatters — every extra array rides as a payload operand, which costs
+    ~65us/col at [64, 2560] on v5e vs ~1.5ms for a separate network."""
+    if size * idx.shape[0] <= _ONEHOT_ELEMS:
+        return tuple(onehot_scatter_i32(idx, v, size) for v in values)
+    out = jax.lax.sort((idx,) + tuple(values), num_keys=1, is_stable=False)
+    return out[1:]

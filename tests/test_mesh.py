@@ -53,3 +53,67 @@ def test_mesh_solver_matches_sequential_on_random_instances():
 
         assert c_seq.is_exact and c_par.is_exact
         assert c_seq.best_value == c_par.best_value
+
+
+def test_mesh_chunked_compile_interrupts_on_cutoff():
+    """VERDICT r2 weak #8: a cutoff must be able to interrupt a mesh
+    compile mid-scan — the chunk driver is inherited from DDCompiler, so
+    the sharded path polls between chunks exactly like the single-device
+    path."""
+    from ddo_tpu.core.types import CompilationType, root_subproblem
+    from ddo_tpu.engine.mdd import CutoffInterrupt
+    from ddo_tpu.parallel.mesh import MeshCompiler
+
+    class FiresAfterOne:
+        def __init__(self):
+            self.calls = 0
+
+        def must_stop(self):
+            self.calls += 1
+            return self.calls > 1
+
+    pb = read_instance("/root/reference/resources/knapsack/f2_l-d_kp_20_878")
+    bundle = ModelBundle(pb, KPRelax(pb), KPRanking())
+    compiler = MeshCompiler(bundle, 8, ddo_tpu.FRONTIER, make_mesh())
+    root = root_subproblem(pb)
+    with pytest.raises(CutoffInterrupt):
+        compiler.compile_batch(
+            CompilationType.RELAXED, [root] * 3, -(10**9), [2] * 3,
+            cutoff=FiresAfterOne(), chunk_layers=4,  # n=20 -> 5 chunks
+        )
+
+
+def test_mesh_solver_honors_time_budget():
+    """End-to-end mesh solve with TimeBudget(0): clean abort, gap 1."""
+    from ddo_tpu.core.heuristics import TimeBudget
+
+    pb = read_instance("/root/reference/resources/knapsack/f2_l-d_kp_20_878")
+    bundle = ModelBundle(pb, KPRelax(pb), KPRanking())
+    solver = MeshSolver(
+        bundle, mesh=make_mesh(), width_heu=FixedWidth(2),
+        cutoff=TimeBudget(0.0),
+    )
+    c = solver.maximize()
+    assert not c.is_exact and solver.gap() == 1.0
+
+
+def test_mesh_batch_stats_reductions():
+    """compile_batch returns in-graph-reduced global_best/total_expanded
+    over the sharded lanes (padded lanes masked out)."""
+    from ddo_tpu.core.types import CompilationType, root_subproblem
+    from ddo_tpu.parallel.mesh import MeshCompiler
+    from ddo_tpu.utils.num import NEG_INF
+
+    pb = read_instance("/root/reference/resources/knapsack/f2_l-d_kp_20_878")
+    bundle = ModelBundle(pb, KPRelax(pb), KPRanking())
+    compiler = MeshCompiler(bundle, 32, ddo_tpu.FRONTIER, make_mesh())
+    root = root_subproblem(pb)
+    batch = compiler.compile_batch(
+        CompilationType.RELAXED, [root] * 3, NEG_INF, [32] * 3,
+    )
+    assert len(batch) == 3  # padded lanes are not exposed as views
+    per_lane_best = max(
+        dd.best_exact_value() for dd in batch if dd.best_exact_value() is not None
+    )
+    assert batch.global_best == per_lane_best == 1024
+    assert batch.total_expanded == sum(int(dd.o["expanded"]) for dd in batch)
