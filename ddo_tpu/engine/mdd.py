@@ -1021,6 +1021,38 @@ def _compile_jit(spec, datas, root_state, root_value, root_depth, best_lb, eff_w
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _compile_fused_vjit(spec_r, spec_x, datas, root_states, root_values,
+                        root_depths, best_lb, eff_widths, rpss, actives,
+                        cache_tab=None, dom_tab=None):
+    """ONE dispatch for the whole superstep: K restricted compiles, the
+    in-graph incumbent reduction, then K relaxed compiles pruning against
+    `max(best_lb, restricted global best)` — tighter than the reference,
+    whose threads re-read a shared best_lb between the two passes
+    (parallel.rs:397,428).  Replaces two dispatches + a host round-trip
+    per superstep; with fixed-K lane padding the relaxed pass was already
+    paying full-K work, so fusing costs nothing even when some lanes'
+    restricted DDs come out exact (their relaxed outputs are ignored by
+    the solver)."""
+    best_lb = jnp.asarray(best_lb, VALUE_DTYPE)
+    out_r = jax.vmap(
+        lambda rs, rv, rd, ew, ps: compile_kernel(
+            spec_r, datas, rs, rv, rd, best_lb, ew, ps,
+            cache_tab=cache_tab, dom_tab=dom_tab,
+        )
+    )(root_states, root_values, root_depths, eff_widths, rpss)
+    g_r, t_r = _batch_stats(out_r, actives)
+    lb2 = jnp.maximum(best_lb, g_r)
+    out_x = jax.vmap(
+        lambda rs, rv, rd, ew, ps: compile_kernel(
+            spec_x, datas, rs, rv, rd, lb2, ew, ps,
+            cache_tab=cache_tab, dom_tab=dom_tab,
+        )
+    )(root_states, root_values, root_depths, eff_widths, rpss)
+    g_x, t_x = _batch_stats(out_x, actives)
+    return out_r, g_r, t_r, out_x, g_x, t_x
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _compile_vjit(spec, datas, root_states, root_values, root_depths, best_lb,
                   eff_widths, rpss, actives, cache_tab=None, dom_tab=None):
@@ -1311,26 +1343,35 @@ class DDCompiler:
         )
         return CompiledDD(spec, out, sub)
 
-    def _prep_batch(self, subs, eff_widths):
-        """Stack per-lane inputs; the mesh compiler overrides this to pad
-        the lane count to the mesh and shard every array."""
+    def _prep_batch(self, subs, eff_widths, pad_to=None):
+        """Stack per-lane inputs, padding the lane count to `pad_to` with
+        masked-inactive duplicates of lane 0: EVERY distinct lane count is
+        a fresh XLA trace+compile of the whole engine, so solvers pad to
+        their fixed batch (an ALP profile showed 33 compiles/52s on ONE
+        instance from varying need_relax counts).  The mesh compiler
+        overrides this to also round up to the mesh and shard."""
+        K = max(len(subs), pad_to or 0)
+        pads = K - len(subs)
+        padded = list(subs) + [subs[0]] * pads
         states = jax.tree_util.tree_map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-            *[s.state for s in subs],
+            *[s.state for s in padded],
         )
-        values = jnp.asarray([s.value for s in subs], VALUE_DTYPE)
-        depths = jnp.asarray([s.depth for s in subs], I32)
-        widths = jnp.asarray(eff_widths, I32)
-        psets = jnp.asarray(np.stack([s.path_set for s in subs]))
-        actives = jnp.ones((len(subs),), bool)
+        values = jnp.asarray([s.value for s in padded], VALUE_DTYPE)
+        depths = jnp.asarray([s.depth for s in padded], I32)
+        widths = jnp.asarray(list(eff_widths) + [1] * pads, I32)
+        psets = jnp.asarray(np.stack([s.path_set for s in padded]))
+        actives = jnp.asarray([True] * len(subs) + [False] * pads)
         return states, values, depths, widths, psets, actives
 
     def compile_batch(self, comp_type: CompilationType, subs, best_lb: int,
                       eff_widths, cache_tab=None, dom_tab=None,
-                      cutoff=None, chunk_layers=None) -> "CompiledBatch":
+                      cutoff=None, chunk_layers=None,
+                      pad_to=None) -> "CompiledBatch":
         """Compile K DDs in one vmapped XLA call; returns a list-like
         `CompiledBatch` of per-lane views carrying in-graph-reduced
-        `global_best` / `total_expanded` scalars.
+        `global_best` / `total_expanded` scalars (inactive padded lanes
+        excluded from the reductions and not exposed as views).
 
         With `chunk_layers` set and a `cutoff` given, the forward scan is
         dispatched in chunks of that many layers with the cutoff polled
@@ -1339,7 +1380,7 @@ class DDCompiler:
         `CutoffInterrupt` when the cutoff fires mid-compile."""
         spec = self._specs[comp_type]
         states, values, depths, widths, psets, actives = self._prep_batch(
-            subs, eff_widths
+            subs, eff_widths, pad_to
         )
         n = self.bundle.problem.nb_variables
         if chunk_layers and cutoff is not None and n > chunk_layers:
@@ -1357,6 +1398,35 @@ class DDCompiler:
             [CompiledDD(spec, _LaneView(batch, k), sub)
              for k, sub in enumerate(subs)],
             gbest, texp,
+        )
+
+    def compile_fused(self, subs, best_lb: int, eff_widths, cache_tab=None,
+                      dom_tab=None, pad_to=None):
+        """One-dispatch superstep: returns (restricted, relaxed)
+        `CompiledBatch`es over the same lanes, the relaxed pass pruning
+        against the restricted pass's in-graph incumbent.  Used by the
+        solvers whenever cutoff chunking is off."""
+        spec_r = self._specs[CompilationType.RESTRICTED]
+        spec_x = self._specs[CompilationType.RELAXED]
+        states, values, depths, widths, psets, actives = self._prep_batch(
+            subs, eff_widths, pad_to
+        )
+        out_r, g_r, t_r, out_x, g_x, t_x = _compile_fused_vjit(
+            spec_r, spec_x, self.bundle.datas, states, values, depths,
+            best_lb, widths, psets, actives,
+            cache_tab=cache_tab, dom_tab=dom_tab,
+        )
+        br = _BatchPlanes(out_r)
+        bx = _BatchPlanes(out_x)
+        return (
+            CompiledBatch(
+                [CompiledDD(spec_r, _LaneView(br, k), sub)
+                 for k, sub in enumerate(subs)], g_r, t_r,
+            ),
+            CompiledBatch(
+                [CompiledDD(spec_x, _LaneView(bx, k), sub)
+                 for k, sub in enumerate(subs)], g_x, t_x,
+            ),
         )
 
     def _compile_chunked(self, spec, states, values, depths, best_lb, widths,

@@ -70,10 +70,11 @@ class MeshCompiler(DDCompiler):
     def _shard(self, arr):
         return jax.device_put(arr, NamedSharding(self.mesh, P(self.axis)))
 
-    def _prep_batch(self, subs, eff_widths):
+    def _prep_batch(self, subs, eff_widths, pad_to=None):
         """Pad the lane count to a mesh multiple (duplicate roots, masked
         inactive) and shard every input along the `lanes` axis."""
-        K = self.lanes * max(1, -(-len(subs) // self.lanes))
+        want = max(len(subs), pad_to or 0)
+        K = self.lanes * max(1, -(-want // self.lanes))
         pads = K - len(subs)
         padded = list(subs) + [subs[0]] * pads
         active = np.asarray([True] * len(subs) + [False] * pads)

@@ -30,11 +30,15 @@ import numpy as np
 from ddo_tpu.core.types import SubProblem, Threshold
 
 
+import os as _os
+
 #: snapshot tables always have exactly this many rows: every distinct
 #: table size is a fresh XLA trace (and live executable) of the whole
 #: compile kernel, so one fixed size bounds both at the cost of padded
-#: compares on small stores
-TABLE_ROWS = 256
+#: compares on small stores.  Env-tunable (DDO_TABLE_ROWS) — the [C, T, K]
+#: in-compilation filter compare scales linearly with it, and on CPU hosts
+#: it can dominate whole solves (ALP: 2x end-to-end at T=256).
+TABLE_ROWS = int(_os.environ.get("DDO_TABLE_ROWS", 256))
 
 
 class Cache:

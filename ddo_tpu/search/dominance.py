@@ -76,8 +76,23 @@ class SimpleDominanceChecker(DominanceChecker):
         self._keys = [None] * n1   # np.int32 [cap, KK]
         self._coords = [None] * n1  # np.int32 [cap, CC]
         self._vals = [None] * n1    # np.int64 [cap]
+        self._hash = [None] * n1    # np.int64 [cap] — key-row prefilter
         self._count = [0] * n1
         self._snapshot = None
+
+    @staticmethod
+    def _hash_rows(keys):
+        """Deterministic int64 row hash of key columns: probes compare ONE
+        i64 per stored row before touching the KK-wide compares (a cutset
+        probe against 4096-row fronts spent ~50s/solve in np.all reduces
+        on an ALP profile; key matches are rare, so the prefilter removes
+        almost all of that)."""
+        k = keys.astype(np.int64).view(np.uint64) if keys.dtype == np.int64 \
+            else keys.astype(np.int64).astype(np.uint64)
+        mult = (np.arange(k.shape[1], dtype=np.uint64) * np.uint64(2)
+                + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            return (k * mult[None, :]).sum(axis=1).view(np.int64)
 
     # ------------------------------------------------------------- plumbing
     def _cols(self, state):
@@ -100,6 +115,7 @@ class SimpleDominanceChecker(DominanceChecker):
             self._keys[d] = np.zeros((cap, KK), np.int32)
             self._coords[d] = np.zeros((cap, CC), np.int32)
             self._vals[d] = np.zeros(cap, np.int64)
+            self._hash[d] = np.zeros(cap, np.int64)
 
     def insert_batch(self, depths, keys, coords, values):
         """Bulk insertion (CompiledDD.exact_nodes_batch): mirrors the
@@ -132,10 +148,12 @@ class SimpleDominanceChecker(DominanceChecker):
             self._keys[d][: len(keep)] = self._keys[d][keep]
             self._coords[d][: len(keep)] = self._coords[d][keep]
             self._vals[d][: len(keep)] = self._vals[d][keep]
+            self._hash[d][: len(keep)] = self._hash[d][keep]
             cnt = len(keep)
         self._keys[d][cnt : cnt + m] = k
         self._coords[d][cnt : cnt + m] = c
         self._vals[d][cnt : cnt + m] = v
+        self._hash[d][cnt : cnt + m] = self._hash_rows(k)
         self._count[d] = cnt + m
 
     # ------------------------------------------------------------- checking
@@ -145,15 +163,28 @@ class SimpleDominanceChecker(DominanceChecker):
         cnt = self._count[d]
         if cnt == 0:
             return None
-        sk = self._keys[d][:cnt]
-        sc = self._coords[d][:cnt]
+        # hash prefilter: only rows whose key hash matches are compared
+        cand = np.flatnonzero(
+            self._hash[d][:cnt] == self._hash_rows(kcols[None, :])[0]
+        )
+        km_out = np.zeros(cnt, bool)
         sv = self._vals[d][:cnt]
+        eqc_out = np.zeros(cnt, bool)
+        if len(cand) == 0:
+            return km_out, sv, eqc_out
+        sk = self._keys[d][cand]
+        sc = self._coords[d][cand]
+        svc = sv[cand]
         km = np.all(sk == kcols[None, :], axis=1)
         ge = np.all(sc >= ccols[None, :], axis=1)
         eqc = np.all(sc == ccols[None, :], axis=1)
         if self.dom.use_value:
-            return km & ge & (sv >= value) & ~(eqc & (sv == value)), sv, eqc
-        return km & ge & ~eqc, sv, eqc
+            dom_c = km & ge & (svc >= value) & ~(eqc & (svc == value))
+        else:
+            dom_c = km & ge & ~eqc
+        km_out[cand] = dom_c
+        eqc_out[cand] = eqc
+        return km_out, sv, eqc_out
 
     def is_dominated(self, state, depth, value) -> bool:
         kcols, ccols = self._cols(state)
@@ -182,18 +213,25 @@ class SimpleDominanceChecker(DominanceChecker):
             if cnt == 0:
                 continue
             rows = np.flatnonzero(np.asarray(depths) == d)
-            sk = self._keys[int(d)][:cnt]
-            sc = self._coords[int(d)][:cnt]
-            sv = self._vals[int(d)][:cnt]
-            km = np.all(keys[rows][:, None, :] == sk[None, :, :], axis=2)
-            ge = np.all(sc[None, :, :] >= coords[rows][:, None, :], axis=2)
-            eqc = np.all(sc[None, :, :] == coords[rows][:, None, :], axis=2)
-            v = np.asarray(values)[rows, None]
+            sh = self._hash[int(d)][:cnt]
+            qh = self._hash_rows(keys[rows])
+            # hash prefilter: (probe, stored) pairs with matching key hash
+            pi, si = np.nonzero(qh[:, None] == sh[None, :])
+            if len(pi) == 0:
+                continue
+            sk = self._keys[int(d)]
+            sc = self._coords[int(d)]
+            sv = self._vals[int(d)]
+            qrows = rows[pi]
+            km = np.all(keys[qrows] == sk[si], axis=1)
+            ge = np.all(sc[si] >= coords[qrows], axis=1)
+            eqc = np.all(sc[si] == coords[qrows], axis=1)
+            v = np.asarray(values)[qrows]
             if self.dom.use_value:
-                dominates = km & ge & (sv[None, :] >= v) & ~(eqc & (sv[None, :] == v))
+                dominates = km & ge & (sv[si] >= v) & ~(eqc & (sv[si] == v))
             else:
                 dominates = km & ge & ~eqc
-            out[rows] = dominates.any(axis=1)
+            np.logical_or.at(out, qrows, dominates)
         return out
 
     def is_dominated_or_insert(self, state, key_bytes, depth, value):

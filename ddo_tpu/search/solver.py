@@ -268,12 +268,23 @@ class SequentialSolver:
         widths = [max(1, self.width_heu.max_width(nd)) for nd in batch]
         best_lb = self.best_lb
 
+        # fused one-dispatch superstep unless chunked (cutoff) compilation
+        # must poll between layer chunks
+        chunking = (
+            self.compile_chunk is not None
+            and not isinstance(self.cutoff, NoCutoff)
+            and self.problem.nb_variables > self.compile_chunk
+        )
+        if not chunking:
+            return self._process_batch_fused(batch, widths, best_lb)
+
         t0 = time.perf_counter()
         cache_tab, dom_tab = self._filter_tables()
         restricted = self.compiler.compile_batch(
             CompilationType.RESTRICTED, batch, best_lb, widths,
             cache_tab=cache_tab, dom_tab=dom_tab,
             cutoff=self.cutoff, chunk_layers=self.compile_chunk,
+            pad_to=self.batch,
         )
         t1 = time.perf_counter()
         self.stats.restricted_s += t1 - t0
@@ -302,6 +313,7 @@ class SequentialSolver:
             CompilationType.RELAXED, need_relax, self.best_lb, widths2,
             cache_tab=cache_tab, dom_tab=dom_tab,
             cutoff=self.cutoff, chunk_layers=self.compile_chunk,
+            pad_to=self.batch,
         )
         t3 = time.perf_counter()
         self.stats.relaxed_s += t3 - t2
@@ -315,6 +327,41 @@ class SequentialSolver:
             if not dd.is_exact():
                 self._enqueue_cutset(nd, dd)
         self.stats.host_s += time.perf_counter() - t3
+
+    def _process_batch_fused(self, batch, widths, best_lb):
+        """One-dispatch superstep (engine `compile_fused`): restricted +
+        relaxed compiled back-to-back in a single XLA program, the relaxed
+        pass pruning against the restricted pass's in-graph incumbent.
+        Relaxed lanes whose restricted DD was exact are discarded (the
+        reference never compiles them; their planes are simply unread)."""
+        t0 = time.perf_counter()
+        cache_tab, dom_tab = self._filter_tables()
+        restricted, relaxed = self.compiler.compile_fused(
+            batch, best_lb, widths, cache_tab=cache_tab, dom_tab=dom_tab,
+            pad_to=self.batch,
+        )
+        t1 = time.perf_counter()
+        self.stats.restricted_s += t1 - t0
+        self.expanded_nodes += restricted.total_expanded
+        self.expanded_nodes += relaxed.total_expanded
+        improved = restricted.global_best > self.best_lb
+        need = []
+        for nd, dd_r, dd_x in zip(batch, restricted, relaxed):
+            if improved:
+                self._maybe_update_best(dd_r)
+            self._apply_cache_updates(dd_r)
+            self._absorb_dominance(dd_r)
+            if not dd_r.is_exact():
+                need.append((nd, dd_x))
+        improved = relaxed.global_best > self.best_lb
+        for nd, dd_x in need:
+            if improved:
+                self._maybe_update_best(dd_x)
+            self._apply_cache_updates(dd_x)
+            self._absorb_dominance(dd_x)
+            if not dd_x.is_exact():
+                self._enqueue_cutset(nd, dd_x)
+        self.stats.host_s += time.perf_counter() - t1
 
     def _maybe_update_best(self, dd):
         """sequential.rs:394-400."""
@@ -500,12 +547,49 @@ class NativeSolver:
             ]
             widths = [max(1, self.width_heu.max_width(s)) for s in subs]
 
+            chunking = (
+                self.compile_chunk is not None
+                and not isinstance(self.cutoff, NoCutoff)
+                and self.problem.nb_variables > self.compile_chunk
+            )
+            if not chunking:
+                # fused one-dispatch superstep (see SequentialSolver)
+                t0 = time.perf_counter()
+                restricted, relaxed = self.compiler.compile_fused(
+                    subs, self.best_lb, widths, pad_to=self.batch,
+                    **self._filter_tables(),
+                )
+                t1 = time.perf_counter()
+                self.stats.restricted_s += t1 - t0
+                self.expanded_nodes += restricted.total_expanded
+                self.expanded_nodes += relaxed.total_expanded
+                improved = restricted.global_best > self.best_lb
+                need = []
+                for s, dd_r, dd_x in zip(subs, restricted, relaxed):
+                    if improved:
+                        self._maybe_update_best(dd_r)
+                    self._absorb_cache(dd_r)
+                    self._absorb_dominance(dd_r)
+                    if not dd_r.is_exact():
+                        need.append((s, dd_x))
+                improved = relaxed.global_best > self.best_lb
+                for s, dd_x in need:
+                    if improved:
+                        self._maybe_update_best(dd_x)
+                    self._absorb_cache(dd_x)
+                    self._absorb_dominance(dd_x)
+                    if not dd_x.is_exact():
+                        self._enqueue(dd_x, s.ub)
+                self.stats.host_s += time.perf_counter() - t1
+                self.stats.supersteps += 1
+                continue
+
             t0 = time.perf_counter()
             try:
                 restricted = self.compiler.compile_batch(
                     CompilationType.RESTRICTED, subs, self.best_lb, widths,
                     cutoff=self.cutoff, chunk_layers=self.compile_chunk,
-                    **self._filter_tables(),
+                    pad_to=self.batch, **self._filter_tables(),
                 )
             except CutoffInterrupt:
                 self._abort()
@@ -533,7 +617,7 @@ class NativeSolver:
                 relaxed = self.compiler.compile_batch(
                     CompilationType.RELAXED, need_relax, self.best_lb, widths2,
                     cutoff=self.cutoff, chunk_layers=self.compile_chunk,
-                    **self._filter_tables(),
+                    pad_to=self.batch, **self._filter_tables(),
                 )
             except CutoffInterrupt:
                 self._abort()

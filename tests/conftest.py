@@ -18,10 +18,16 @@ os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-).strip()
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("DDO_TEST_TPU") == "1":
+    # escape hatch for parity burn-ins of the HEAVY families: keep the
+    # session's real TPU backend (one tunneled chip) and its persistent
+    # compile cache.  Only ONE such run may own the tunnel at a time.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+else:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    jax.config.update("jax_platforms", "cpu")
 
 import gc
 

@@ -21,8 +21,11 @@ BUDGET = int(os.environ.get("DDO_TEST_BUDGET", "240"))
 # XLA:CPU's JIT segfaults after accumulating ~90 live executables, so the
 # suite drops compiled programs periodically.  Instance-shared jit caches
 # (ModelBundle.static_key) keep the distinct-program count per family tiny,
-# so clearing can be rare enough not to forfeit the sharing win.
-_CLEAR_EVERY = 10
+# and r3's fixed-K lane padding removed the per-need_relax-count trace
+# explosion, so clearing can be much rarer without risking the crash —
+# frequent clears were recompiling PSP's shared traces away every few
+# tests (170+ instances share ~10 (n_items, horizon) trace groups).
+_CLEAR_EVERY = int(os.environ.get("DDO_TEST_CLEAR_EVERY", "40"))
 _counter = {"n": 0}
 
 
