@@ -1348,9 +1348,13 @@ class DDCompiler:
         masked-inactive duplicates of lane 0: EVERY distinct lane count is
         a fresh XLA trace+compile of the whole engine, so solvers pad to
         their fixed batch (an ALP profile showed 33 compiles/52s on ONE
-        instance from varying need_relax counts).  The mesh compiler
-        overrides this to also round up to the mesh and shard."""
-        K = max(len(subs), pad_to or 0)
+        instance from varying need_relax counts).  Exactly TWO lane
+        buckets exist: 1 and `pad_to` — lanes execute serially on CPU
+        backends, so a 1-node superstep (the common deep-dive case) must
+        not pay `pad_to` lanes of device work, but finer buckets would
+        each compile the whole engine again.  The mesh compiler overrides
+        this to also round up to the mesh and shard."""
+        K = 1 if len(subs) == 1 else max(pad_to or 0, len(subs))
         pads = K - len(subs)
         padded = list(subs) + [subs[0]] * pads
         states = jax.tree_util.tree_map(

@@ -105,6 +105,19 @@ class SimpleCache(Cache):
         self._expl = [None] * (n + 1)
         self._count = [0] * (n + 1)
         self._snapshot = None
+        # key width, so snapshot() can serve all-invalid tables BEFORE the
+        # first insertion: a None-table compile variant would otherwise
+        # double the engine trace count (compile time matters more than
+        # the padded compare on an empty store)
+        try:
+            import jax
+            import jax.numpy as jnp
+            st = jax.tree_util.tree_map(
+                jnp.asarray, problem.initial_state(problem.data)
+            )
+            self._key_width = int(problem.pack(st).shape[0])
+        except Exception:
+            self._key_width = None
 
     @staticmethod
     def _key_row(key: bytes):
@@ -191,11 +204,14 @@ class SimpleCache(Cache):
             return self._snapshot
         counts = [min(c, cap) for c in self._count]
         T = max(counts, default=0)
-        if T == 0:
+        if T == 0 and getattr(self, "_key_width", None) is None:
             return None
         T = TABLE_ROWS
         n1 = len(self._count)
-        K = next(k.shape[1] for k in self._keys if k is not None)
+        K = next(
+            (k.shape[1] for k in self._keys if k is not None),
+            getattr(self, "_key_width", None),
+        )
         keys = np.zeros((n1, T, K), np.int32)
         vals = np.zeros((n1, T), np.int32)
         valid = np.zeros((n1, T), bool)

@@ -42,6 +42,11 @@ from ddo_tpu.search.cache import TABLE_ROWS
 class DominanceChecker:
     dom: Optional[Dominance] = None
 
+    def prime(self, problem):
+        """Learn the key/coord widths from the root state so `snapshot()`
+        can serve all-invalid tables before the first insertion (avoids a
+        second None-table compile variant of the engine)."""
+
     def clear_layer(self, depth: int):
         pass
 
@@ -79,6 +84,25 @@ class SimpleDominanceChecker(DominanceChecker):
         self._hash = [None] * n1    # np.int64 [cap] — key-row prefilter
         self._count = [0] * n1
         self._snapshot = None
+        self._dims = None  # (KK, CC) once known/primed
+
+    def prime(self, problem):
+        try:
+            import jax
+            import jax.numpy as jnp
+            st = jax.tree_util.tree_map(
+                jnp.asarray, problem.initial_state(problem.data)
+            )
+            kc = self.dom.key_cols(st)
+            if kc is None:
+                return
+            import numpy as _np
+            self._dims = (
+                int(_np.atleast_1d(_np.asarray(kc)).shape[0]),
+                int(_np.atleast_1d(_np.asarray(self.dom.coord_cols(st))).shape[0]),
+            )
+        except Exception:
+            pass
 
     @staticmethod
     def _hash_rows(keys):
@@ -261,12 +285,18 @@ class SimpleDominanceChecker(DominanceChecker):
             return self._snapshot
         counts = [min(c, cap) for c in self._count]
         T = max(counts, default=0)
-        if T == 0:
+        if T == 0 and self._dims is None:
             return None
         T = TABLE_ROWS
         n1 = len(self._count)
-        KK = next(k.shape[1] for k in self._keys if k is not None)
-        CC = next(c.shape[1] for c in self._coords if c is not None)
+        KK = next(
+            (k.shape[1] for k in self._keys if k is not None),
+            self._dims[0] if self._dims else None,
+        )
+        CC = next(
+            (c.shape[1] for c in self._coords if c is not None),
+            self._dims[1] if self._dims else None,
+        )
         keys = np.zeros((n1, T, KK), np.int32)
         coords = np.zeros((n1, T, CC), np.int32)
         vals = np.zeros((n1, T), np.int32)

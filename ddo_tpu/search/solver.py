@@ -152,6 +152,8 @@ class SequentialSolver:
         """sequential.rs:475-494."""
         self.stats.start = time.perf_counter()
         self.cache.initialize(self.problem)
+        if self.filtering:
+            self.dominance.prime(self.problem)
         self.fringe.push(root_subproblem(self.problem))
         self.open_by_layer[0] += 1
 
@@ -488,6 +490,8 @@ class NativeSolver:
         self._cache_tables = SimpleCache() if (use_cache and in_compile_filtering) else None
         if self._cache_tables is not None:
             self._cache_tables.initialize(problem)
+        if dominance is not None and in_compile_filtering:
+            dominance.prime(problem)
         self.cutoff = cutoff or NoCutoff()
         self.compile_chunk = 32 if not isinstance(self.cutoff, NoCutoff) else None
         self.batch = batch
