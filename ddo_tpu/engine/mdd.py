@@ -568,12 +568,21 @@ def _forward_setup(spec: DDSpec, datas, root_state, root_value, root_depth, best
             + jnp.where(pruned, 1 << 29, 0)
             + jnp.where(pruned_cache_inexact, 1 << 30, 0)
         )
-        (bcast_code, bcast_ptheta) = seg_ops.seg_broadcast_at_head(
-            head, (slot_code, ptheta)
-        )
         if "etake" in _ablate:
             e_code, cand_ptheta, f_mm_i = slot_code, ptheta, merge_mask.astype(I32)
+        elif C * C <= seg_ops._ONEHOT_ELEMS:
+            # small C: direct one-hot maps — the segmented broadcast scan
+            # below is associative_scan-heavy and measured ~30% slower at
+            # C=512 (knapsack bench shape) than two MXU contractions
+            head_pos = jax.lax.cummax(jnp.where(head, idxs, -1))
+            cand_slot = seg_ops.scatter_i32(perm, head_pos, C)
+            e_code = seg_ops.take_i32(slot_code, jnp.clip(cand_slot, 0, C - 1))
+            cand_ptheta = seg_ops.take_i32(ptheta, jnp.clip(cand_slot, 0, C - 1))
+            f_mm_i = seg_ops.scatter_i32(perm, merge_mask.astype(I32), C)
         else:
+            (bcast_code, bcast_ptheta) = seg_ops.seg_broadcast_at_head(
+                head, (slot_code, ptheta)
+            )
             e_code, cand_ptheta, f_mm_i = seg_ops.scatter_multi_i32(
                 perm, (bcast_code, bcast_ptheta, merge_mask.astype(I32)), C
             )
