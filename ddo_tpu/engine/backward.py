@@ -378,15 +378,15 @@ def _pallas_wanted(C, W):
     + kernel fits VMEM ([W, W] one-hot per domain slot + (D, W) edge
     block).
 
-    Opt-in, not default, by measurement: both kernels compile and run
-    bit-exact standalone on v5e (~5s compile), but EMBEDDING the
-    pallas_call inside the full engine program stalls the XLA:TPU AOT
-    compile pathologically (>8 min for a program that compiles in ~30s
-    with the scan path; observed 2026-08, axon remote compiler).  The
-    backward pass is also not the engine bottleneck at bench shapes
-    (43M exp/s is identical either way — the forward bitonic sorts
-    dominate), so the scan path stays the default until the compile
-    blow-up is understood."""
+    Opt-in, not default, by measurement (re-measured after the r3 engine
+    restructure): the r2 AOT-compile stall is GONE — the bench-shape
+    program (K=128, W=256, n=2000) now compiles in ~34s with the
+    pallas_call embedded (r2: >8 min; the r3 pipeline that replaced the
+    fat-payload sorts evidently removed whatever the fuser choked on).
+    But the kernel is ~6% SLOWER end-to-end than the fused reverse scan
+    at that shape (36.5M vs 38.8M exp/s) — the backward pass is not the
+    bottleneck, and the scan path fuses better with its neighbors — so
+    scan stays the default on merit, not on a compile bug."""
     if os.environ.get("DDO_TPU_PALLAS") != "1":
         return False
     if W > 512 or C * W > (1 << 22):
