@@ -60,31 +60,29 @@ def _sort_kernel(num_keys, C, *refs):
     ops = [r[...] for r in ins]  # [C, L] arrays resident in VMEM
 
     for k, j in _bitonic_stages(C):
-        # partner(i) = i ^ j: reshape rows [C] -> [C//(2j), 2, j]; the
-        # partner lives across axis 1.  direction: ascending iff i&k==0.
+        # partner(i) = i ^ j: reshape rows [C] -> [C//(2j), 2j] and slice
+        # halves across the second dim; direction: ascending iff i&k==0.
+        # All masks stay int32 (0/1) with arithmetic selects — i1 vectors
+        # hit Mosaic's "unsupported target bitwidth for truncation".
         def ex(a):
-            return a.reshape(C // (2 * j), 2, j, a.shape[-1])
+            return a.reshape(C // (2 * j), 2 * j, a.shape[-1])
 
-        lo = [ex(a)[:, 0] for a in ops]   # rows with i&j == 0
-        hi = [ex(a)[:, 1] for a in ops]   # rows with i&j == 1
-        # lexicographic: lo > hi ?
-        gt = jnp.zeros(lo[0].shape, jnp.bool_)
-        eq = jnp.ones(lo[0].shape, jnp.bool_)
-        for t in range(num_keys):
-            gt = gt | (eq & (lo[t] > hi[t]))
-            eq = eq & (lo[t] == hi[t])
+        lo = [ex(a)[:, :j] for a in ops]   # rows with i&j == 0
+        hi = [ex(a)[:, j:] for a in ops]   # rows with i&j == 1
+        gt = (lo[0] > hi[0]).astype(jnp.int32)
+        eq = (lo[0] == hi[0]).astype(jnp.int32)
+        for t in range(1, num_keys):
+            gt = gt | (eq & (lo[t] > hi[t]).astype(jnp.int32))
+            eq = eq & (lo[t] == hi[t]).astype(jnp.int32)
         # ascending block iff (i & k) == 0; i = b*2j + s*j + t with
         # b = row block index: i&k depends only on (b*2j) & k for k > j
         blk = jax.lax.broadcasted_iota(jnp.int32, gt.shape, 0)
-        asc = ((blk * 2 * j) & k) == 0
-        swap = jnp.where(asc, gt, ~gt & ~eq)
+        asc = (((blk * 2 * j) & k) == 0).astype(jnp.int32)
+        # swap = asc ? gt : (!gt && !eq)
+        swap = asc * gt + (1 - asc) * (1 - gt) * (1 - eq)
         ops = [
             jnp.concatenate(
-                [
-                    jnp.where(swap, h, l)[:, None],
-                    jnp.where(swap, l, h)[:, None],
-                ],
-                axis=1,
+                [l + swap * (h - l), h - swap * (h - l)], axis=1
             ).reshape(C, a.shape[-1])
             for l, h, a in zip(lo, hi, ops)
         ]
