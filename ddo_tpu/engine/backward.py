@@ -77,7 +77,7 @@ def _layer_body(W, D, best_known, vb_eff, th_eff, ec, eco, ev,
              (th_eff >> 12).astype(jnp.float32), (th_eff & 0xFFF).astype(jnp.float32)],
             axis=1,
         )  # [W, 4]
-        g4 = jnp.dot(oh, tables, preferred_element_type=jnp.float32)  # [C, 4]
+        g4 = jnp.dot(oh, tables, preferred_element_type=jnp.float32, precision="float32")  # [C, 4]
         g_vb = g4[:, 0].astype(I32) * 4096 + g4[:, 1].astype(I32)
         g_th = g4[:, 2].astype(I32) * 4096 + g4[:, 3].astype(I32)
     else:
@@ -173,12 +173,12 @@ def _layer_body_rows(W, D, bk, vb_eff, th_eff, ec, eco, ev,
         cc = jnp.clip(ecd, 0, W - 1)  # (1, W)
         ohT = (iota0 == cc).astype(f32)  # [W, W], ohT[j, w] = cc[w]==j
         g_vb = (
-            jnp.dot(vb_hi, ohT, preferred_element_type=f32).astype(I32) * 4096
-            + jnp.dot(vb_lo, ohT, preferred_element_type=f32).astype(I32)
+            jnp.dot(vb_hi, ohT, preferred_element_type=f32, precision="float32").astype(I32) * 4096
+            + jnp.dot(vb_lo, ohT, preferred_element_type=f32, precision="float32").astype(I32)
         )
         g_th = (
-            jnp.dot(th_hi, ohT, preferred_element_type=f32).astype(I32) * 4096
-            + jnp.dot(th_lo, ohT, preferred_element_type=f32).astype(I32)
+            jnp.dot(th_hi, ohT, preferred_element_type=f32, precision="float32").astype(I32) * 4096
+            + jnp.dot(th_lo, ohT, preferred_element_type=f32, precision="float32").astype(I32)
         )
         cm = okd & (g_vb > NEG_INF)
         vb_acc = jnp.maximum(vb_acc, jnp.where(cm, sat_add(g_vb, ecod), NEG_INF))

@@ -89,12 +89,16 @@ class Lcs(Problem):
         pos = state["pos"]
         is_end = d == self.n_chars
         c = jnp.clip(d, 0, self.n_chars - 1)
-        # one-hot position/char lookups (MXU; values <= L are f32-exact)
+        # one-hot position/char lookups — precision float32 is REQUIRED:
+        # the MXU's default single-bf16-pass rounds integers > 256, which
+        # silently validated impossible transitions on the length-844
+        # reference instances (claimed LCS = whole first string)
         Lr = data["rem"].shape[2]
         oh_pos = (pos[:, None] == jax.lax.broadcasted_iota(I32, (m, Lr), 1)
                   ).astype(jnp.float32)  # [m, L+1]
         oh_c = (jnp.arange(self.n_chars) == c).astype(jnp.float32)  # [n_chars]
-        remmat = jnp.einsum("ml,mcl->mc", oh_pos, data["rem"])  # [m, n_chars]
+        remmat = jnp.einsum("ml,mcl->mc", oh_pos, data["rem"],
+                    precision="float32")  # [m, n_chars]
         remc = remmat @ oh_c  # [m]
         char_ok = jnp.all(remc > 0.5)
         # the go-to-end slot is valid only when no character is left in
@@ -102,7 +106,8 @@ class Lcs(Problem):
         any_char = jnp.any(jnp.all(remmat > 0.5, axis=0))
         valid = jnp.where(is_end, ~any_char, char_ok)
 
-        nxtmat = jnp.einsum("ml,mcl->mc", oh_pos, data["next"])  # [m, n_chars]
+        nxtmat = jnp.einsum("ml,mcl->mc", oh_pos, data["next"],
+                    precision="float32")  # [m, n_chars]
         np_char = (nxtmat @ oh_c).astype(I32) + 1
         npos = jnp.where(is_end, data["lengths"], np_char).astype(I32)
         cost = jnp.where(is_end, 0, 1).astype(VALUE_DTYPE)
@@ -134,14 +139,17 @@ class LcsRelax(Relaxation):
         Lr = data["rem"].shape[2]
         oh_pos = (pos[:, None] == jax.lax.broadcasted_iota(I32, (m, Lr), 1)
                   ).astype(jnp.float32)  # [m, L+1]
-        remmat = jnp.einsum("ml,mcl->mc", oh_pos, data["rem"])
+        remmat = jnp.einsum("ml,mcl->mc", oh_pos, data["rem"],
+                            precision="float32")
         tot = jnp.sum(jnp.min(remmat, axis=0)).astype(I32)
         if m > 1:
             Lt = data["tables"].shape[1]
             ohp = oh_pos[:, :Lt]
             # tables[p, pos[p], pos[p+1]] as two chained contractions
-            t_rows = jnp.einsum("pl,plk->pk", ohp[:-1], data["tables"])
-            pair = jnp.einsum("pk,pk->p", t_rows, ohp[1:]).astype(I32)
+            t_rows = jnp.einsum("pl,plk->pk", ohp[:-1], data["tables"],
+                                precision="float32")
+            pair = jnp.einsum("pk,pk->p", t_rows, ohp[1:],
+                              precision="float32").astype(I32)
             tot = jnp.minimum(tot, jnp.min(pair))
         return tot.astype(VALUE_DTYPE)
 
