@@ -96,10 +96,15 @@ class Lcs(Problem):
         Lr = data["rem"].shape[2]
         oh_pos = (pos[:, None] == jax.lax.broadcasted_iota(I32, (m, Lr), 1)
                   ).astype(jnp.float32)  # [m, L+1]
-        oh_c = (jnp.arange(self.n_chars) == c).astype(jnp.float32)  # [n_chars]
         remmat = jnp.einsum("ml,mcl->mc", oh_pos, data["rem"],
                     precision="float32")  # [m, n_chars]
-        remc = remmat @ oh_c  # [m]
+        # column-c selection via dynamic_slice, NOT `@ one_hot`: standalone
+        # a mat-vec stays on the exact VPU, but under the engine's (W, D)
+        # vmap it batches into an MXU contraction whose default bf16 pass
+        # rounds integers > 256 — next-position 277 rounded to 276 gave
+        # EXACT SELF-LOOPS (pos frozen at 257..297 while value climbed to
+        # the full string length on the reference instances)
+        remc = jax.lax.dynamic_index_in_dim(remmat, c, 1, keepdims=False)  # [m]
         char_ok = jnp.all(remc > 0.5)
         # the go-to-end slot is valid only when no character is left in
         # every string (model.rs:103-118)
@@ -108,7 +113,9 @@ class Lcs(Problem):
 
         nxtmat = jnp.einsum("ml,mcl->mc", oh_pos, data["next"],
                     precision="float32")  # [m, n_chars]
-        np_char = (nxtmat @ oh_c).astype(I32) + 1
+        np_char = jax.lax.dynamic_index_in_dim(
+            nxtmat, c, 1, keepdims=False
+        ).astype(I32) + 1
         npos = jnp.where(is_end, data["lengths"], np_char).astype(I32)
         cost = jnp.where(is_end, 0, 1).astype(VALUE_DTYPE)
         dval = jnp.where(is_end, GO_TO_END, d).astype(I32)
