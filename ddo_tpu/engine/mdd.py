@@ -221,6 +221,14 @@ def _forward_setup(spec: DDSpec, datas, root_state, root_value, root_depth, best
     # exclusively to attribute per-layer device time.  Never set by solvers.
     import os as _os
     _ablate = set(filter(None, _os.environ.get("DD_ABLATE", "").split(",")))
+    if _ablate and not _os.environ.get("DDO_DEBUG"):
+        # a stray DD_ABLATE inherited from a profiling shell would silently
+        # corrupt every solve (ADVICE r3): require the explicit debug flag
+        raise RuntimeError(
+            f"DD_ABLATE={sorted(_ablate)} produces deliberately WRONG results "
+            "(perf-bisection stubs); set DDO_DEBUG=1 to confirm this is a "
+            "profiling run, or unset DD_ABLATE"
+        )
     use_dom = dom is not None and dom.key_cols(
         jax.tree_util.tree_map(jnp.asarray, root_state)
     ) is not None
@@ -1058,7 +1066,12 @@ def _compile_fused_vjit(spec_r, spec_x, datas, root_states, root_values,
             cache_tab=cache_tab, dom_tab=dom_tab,
         )
     )(root_states, root_values, root_depths, eff_widths, rpss)
-    g_x, t_x = _batch_stats(out_x, actives)
+    # lanes whose restricted DD came out exact have their relaxed outputs
+    # discarded by the solver (the reference never compiles them,
+    # sequential.rs:373-377) — exclude them from the expansion count so
+    # fused-mode `expanded` matches the two-pass route (ADVICE r3)
+    need_x = actives & ~(out_r["is_exact_dd"] | out_r["has_ebp"])
+    g_x, t_x = _batch_stats(out_x, need_x)
     return out_r, g_r, t_r, out_x, g_x, t_x
 
 

@@ -117,21 +117,27 @@ class KPRelax(Relaxation):
         target = base_w + cap
         L = pw.shape[0]
         # m = (# prefix entries <= target) - 1, never < depth since cap >= 0
+        # precision pinned on EVERY one-hot dot: standalone these lower to
+        # exact VPU mat-vecs, but any future batching/vmap change can turn
+        # them into MXU contractions whose default bf16 pass rounds the
+        # 12-bit-split halves (the LCS r3 wrong-answer class; enforced by
+        # tests/test_precision_guard.py)
         pred = (pw <= target).astype(jnp.float32)
-        m = jnp.dot(pred, jnp.ones((L,), jnp.float32)).astype(jnp.int32) - 1
+        m = jnp.dot(pred, jnp.ones((L,), jnp.float32),
+                    precision="float32").astype(jnp.int32) - 1
         oh = (jax.lax.iota(jnp.int32, L) == m).astype(jnp.float32)
 
         def take_split(hi_t, lo_t):
-            return (jnp.dot(oh, hi_t).astype(jnp.int32) * 4096
-                    + jnp.dot(oh, lo_t).astype(jnp.int32))
+            return (jnp.dot(oh, hi_t, precision="float32").astype(jnp.int32) * 4096
+                    + jnp.dot(oh, lo_t, precision="float32").astype(jnp.int32))
 
         pw_m = take_split(data["pw_hi"], data["pw_lo"])
         pp_m = take_split(data["pp_hi"], data["pp_lo"])
         whole = pp_m - data["prefix_p"][depth]
         rem = cap - (pw_m - base_w)
         # fractional item = order[m]; the padded row (m = n) contributes 0
-        p_m = jnp.dot(oh, data["ord_p_f"]).astype(jnp.int32)
-        w_m = jnp.dot(oh, data["ord_w_f"]).astype(jnp.int32)
+        p_m = jnp.dot(oh, data["ord_p_f"], precision="float32").astype(jnp.int32)
+        w_m = jnp.dot(oh, data["ord_w_f"], precision="float32").astype(jnp.int32)
         frac = rem * p_m // jnp.maximum(w_m, 1)
         return (whole + frac).astype(VALUE_DTYPE)
 

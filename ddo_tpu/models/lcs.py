@@ -121,6 +121,15 @@ class Lcs(Problem):
         dval = jnp.where(is_end, GO_TO_END, d).astype(I32)
         return {"pos": npos}, cost, dval, valid
 
+    def is_impacted_by(self, data, state, var):
+        """Long arcs (model.rs:162-165): a node only branches at the layer
+        equal to its first-string position; every other layer is crossed by
+        a zero-cost identity arc (the reference solves LCS with
+        ParCachingSolverPooled, main.rs:91 — the pooled/long-arc engine is
+        what makes ~850-layer LCS DDs tractable: without it every node is
+        re-expanded through all layers, duplicating whole sub-DDs)."""
+        return state["pos"][0] == var
+
     def pack(self, state):
         return state["pos"]
 

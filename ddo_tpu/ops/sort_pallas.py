@@ -16,11 +16,27 @@ blocks in VMEM, runs the full bitonic network with rows as units, and
 transposes back.  Multi-key lexicographic compare over `num_keys`
 operands; the remaining operands ride as payload.
 
-Status: PROTOTYPE — validated bit-equal against `lax.sort` in tests
-(interpret mode on CPU, compiled on TPU when available), benchmarked
-standalone by `bench_sort()`.  Not yet wired into engine/mdd.py: the
-engine integration needs the transpose costs amortized (keep the whole
-layer pipeline in [C, L] layout), which is next-round work.
+Two kernels live here:
+
+  * `sort_lanes` — the round-3 prototype: one [C, L] block per operand.
+    Kept for A/B benchmarking; at the engine's lane counts (K=8 vmap
+    lanes) each [C, 8] block still occupies full [8, 128]-tiled VMEM
+    rows, so ~20 operands would blow the ~16MB VMEM budget.
+  * `sort_packed` + `multi_sort` — the ENGINE path (round 4): all
+    operands ride ONE [C2, n_ops*L] block, so the 128-wide lane axis is
+    filled with (operand, lane) pairs and VMEM holds one matrix.  The
+    compare-exchange swap mask is computed from the key slices and tiled
+    across the operand slices; payloads follow the same swaps.
+
+`multi_sort` is a drop-in for the engine's
+`lax.sort(ops, num_keys=k, is_stable=False)` idiom on 1-D int32 operands:
+under the solver superstep's `jax.vmap` a `custom_vmap` rule collects the
+whole [K, C] lane batch and dispatches one packed kernel (XLA's variadic
+sort costs ~1.5-2ms per [64, 2560] network on v5e — ~100x off
+speed-of-light — which made 4 such networks the per-layer floor,
+VERDICT r3 #2/#4).  Sorting is UNSTABLE on both paths; engine call sites
+guarantee a total order (a `-idxs` / unique-index final key), so results
+are bit-equal across backends.
 """
 
 from __future__ import annotations

@@ -183,7 +183,13 @@ class SimpleDominanceChecker(DominanceChecker):
     # ------------------------------------------------------------- checking
     def _dominators(self, d, kcols, ccols, value):
         """Bool mask over stored rows strictly dominating (k, c, value)
-        per partial_cmp (dominance.rs:57-79)."""
+        per partial_cmp (dominance.rs:57-79).
+
+        Returns (dominators, vals, eqc).  NARROWED CONTRACT on `eqc`
+        (ADVICE r3): coordinate-equality is only computed for rows passing
+        the key-hash prefilter; rows outside the candidate set are always
+        False even if their coordinates coincide.  Callers may only read
+        `eqc` where `dominators` is True (a subset of the candidates)."""
         cnt = self._count[d]
         if cnt == 0:
             return None

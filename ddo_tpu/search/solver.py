@@ -335,7 +335,17 @@ class SequentialSolver:
         relaxed compiled back-to-back in a single XLA program, the relaxed
         pass pruning against the restricted pass's in-graph incumbent.
         Relaxed lanes whose restricted DD was exact are discarded (the
-        reference never compiles them; their planes are simply unread)."""
+        reference never compiles them; their planes are simply unread, and
+        the engine excludes them from the expansion count).
+
+        DELIBERATE divergence from the chunked route (ADVICE r3): both
+        passes share the PRE-superstep cache/dominance snapshots, whereas
+        the two-pass route refreshes them between passes (solver.py
+        `_process_batch`, mirroring the reference's always-current
+        DashMaps).  The staler snapshot only weakens in-compilation
+        pruning — filtering against any sound snapshot is conservative —
+        so the fused route trades a little pruning strength for one
+        dispatch per superstep."""
         t0 = time.perf_counter()
         cache_tab, dom_tab = self._filter_tables()
         restricted, relaxed = self.compiler.compile_fused(
