@@ -12,21 +12,47 @@ and TSPTW (256-bit sets + time windows) kernel shapes, and a measured
 time-to-proved-optimal table over shared reference instances (optima
 asserted, so a wrong solver cannot "win" the bench).
 
-Baseline: the Rust reference publishes no throughput numbers
-(BASELINE.md) and no Rust toolchain exists in this image, so
-`vs_baseline` divides by a documented ESTIMATE of the single-core Rust
-engine's expansion rate (~2M nodes/s: per node it does a hash-map
-insert, an Arc clone and a closure dispatch, clean.rs:728-776, at
-~100ns+ each).  `extra.baseline_kind` says so explicitly; the
-time-to-optimal rows are measured absolute numbers tracked
-round-over-round instead.
+Baseline (VERDICT r3 #7: per-family and MEASURED, not one constant):
+the Rust reference publishes no throughput numbers (BASELINE.md) and no
+Rust toolchain exists in this image, so `vs_baseline` divides by the
+output of `ddo_tpu/native/ref_baseline.cpp` — a C++ single-core replica
+of the reference's exact hot-loop shape per family (transition ->
+FxHash -> flat-map dedup insert -> Arc alloc + edge/node pushes,
+clean.rs:728-776), built with g++ -O2 and run on THIS host.  That is a
+generous ceiling for the reference (it omits rub evaluation, squash
+sorts, and cache/dominance filtering the real loop also pays), measured
+fresh each bench run and recorded in `extra.ref_baseline`.
+`extra.baseline_kind` documents all of this; the time-to-optimal rows
+are measured absolute numbers tracked round-over-round as the primary
+perf record.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-RUST_REFERENCE_EXPANSIONS_PER_SEC = 2_000_000.0  # documented estimate
+_FALLBACK_BASELINE = {  # used only if the C++ replica fails to build
+    "knapsack": 26_000_000.0, "misp": 24_000_000.0, "tsptw": 11_000_000.0,
+}
+
+
+def measure_ref_baseline():
+    """Build + run the C++ reference-hot-loop replica; per-family exp/s."""
+    src = os.path.join(os.path.dirname(__file__), "ddo_tpu/native/ref_baseline.cpp")
+    exe = "/tmp/ddo_ref_baseline"
+    try:
+        subprocess.run(["g++", "-O2", "-march=native", "-o", exe, src],
+                       check=True, capture_output=True, timeout=120)
+        out = subprocess.run([exe, "20000000"], check=True,
+                             capture_output=True, timeout=300)
+        rates = json.loads(out.stdout)
+        log(f"ref baseline (C++ hot-loop replica, this host): {rates}")
+        return rates, "measured-cpp-hot-loop-replica"
+    except Exception as e:  # pragma: no cover
+        log(f"ref baseline build/run failed ({e}); using recorded fallback")
+        return dict(_FALLBACK_BASELINE), "fallback-recorded-cpp-replica"
 
 
 def log(*a):
@@ -90,19 +116,33 @@ def time_to_optimal(label, make_solver, expect, warm_reps=3):
     (the r2 misp warm=79s outlier) can't masquerade as a regression."""
     import statistics
 
+    stats = {}
+
     def one(phase):
         solver = make_solver()
         t0 = time.perf_counter()
         completion = solver.maximize()
         dt = time.perf_counter() - t0
         got = solver.best_value()
+        st = solver.stats
         log(f"  tto[{label}] {phase}: {dt:.3f}s  value={got} expect={expect} "
             f"exact={completion.is_exact} explored={solver.explored_count} "
-            f"expanded={solver.expanded_nodes}")
+            f"expanded={solver.expanded_nodes} supersteps={st.supersteps} "
+            f"device={st.restricted_s + st.relaxed_s:.3f}s host={st.host_s:.3f}s")
         if not (completion.is_exact and got == expect):
             raise AssertionError(
                 f"{label}: got {got} (exact={completion.is_exact}), "
                 f"expected {expect}")
+        # keep the last rep's phase breakdown (warm-state representative):
+        # VERDICT r3 #3 — the host/device split per TTO row makes 'where do
+        # the seconds go' visible round-over-round
+        stats.update(
+            supersteps=st.supersteps,
+            explored=solver.explored_count,
+            expanded=solver.expanded_nodes,
+            device_s=round(st.restricted_s + st.relaxed_s, 3),
+            host_s=round(st.host_s, 3),
+        )
         return round(dt, 3)
 
     cold = one("cold")
@@ -112,6 +152,7 @@ def time_to_optimal(label, make_solver, expect, warm_reps=3):
         "warm_s": min(warms),
         "warm_median_s": round(statistics.median(warms), 3),
         "warm_reps": warms,
+        **stats,
     }
 
 
@@ -124,8 +165,13 @@ def main():
     from ddo_tpu import FixedWidth, ModelBundle, SimpleCache, SimpleDominanceChecker
 
     R = "/root/reference/resources"
-    extra = {"baseline_kind": "estimated-rust-single-core (no Rust toolchain "
-             "in image; see bench.py docstring)"}
+    ref_rates, baseline_kind = measure_ref_baseline()
+    extra = {
+        "baseline_kind": baseline_kind + " (single-core ceiling of the "
+        "reference's _branch_on loop on this host; see bench.py docstring "
+        "and ddo_tpu/native/ref_baseline.cpp)",
+        "ref_baseline": {k: round(v) for k, v in ref_rates.items()},
+    }
 
     # ---------------- kernel throughput, three model families --------------
     log("kernel throughput (relaxed compile superstep):")
@@ -137,6 +183,7 @@ def main():
     rate_kp = kernel_rate(kp_bundle, "knapsack_n2000", 128, 256,
                           ddo_tpu.LAST_EXACT_LAYER)
     extra["knapsack_exp_per_sec"] = round(rate_kp)
+    extra["knapsack_vs_ref"] = round(rate_kp / ref_rates["knapsack"], 3)
 
     from ddo_tpu.models.misp import MispRanking, MispRelax
     from ddo_tpu.models.misp import read_instance as misp_read
@@ -146,6 +193,7 @@ def main():
     rate_mp = kernel_rate(mp_bundle, "misp_keller4", 64, 128,
                           ddo_tpu.LAST_EXACT_LAYER)
     extra["misp_exp_per_sec"] = round(rate_mp)
+    extra["misp_vs_ref"] = round(rate_mp / ref_rates["misp"], 3)
 
     from ddo_tpu.models.tsptw import TsptwRanking, TsptwRelax
     from ddo_tpu.models.tsptw import read_instance as tw_read
@@ -154,6 +202,7 @@ def main():
     tw_bundle = ModelBundle(tw, TsptwRelax(tw), TsptwRanking())
     rate_tw = kernel_rate(tw_bundle, "tsptw_rc201.1", 64, 128, ddo_tpu.FRONTIER)
     extra["tsptw_exp_per_sec"] = round(rate_tw)
+    extra["tsptw_vs_ref"] = round(rate_tw / ref_rates["tsptw"], 3)
 
     # ---------------- measured end-to-end time-to-proved-optimal ----------
     log("time-to-proved-optimal (measured, optima asserted):")
@@ -208,7 +257,7 @@ def main():
                 "metric": "mdd_node_expansions_per_sec",
                 "value": round(rate_kp),
                 "unit": "nodes/s",
-                "vs_baseline": round(rate_kp / RUST_REFERENCE_EXPANSIONS_PER_SEC, 3),
+                "vs_baseline": round(rate_kp / ref_rates["knapsack"], 3),
                 "extra": extra,
             }
         )

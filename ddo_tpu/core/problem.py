@@ -166,15 +166,27 @@ class Problem:
         splitting along the leaves of `initial_state`; models with a custom
         packing must override both consistently (pack must be injective for
         dedup correctness anyway, so a bijective encoding costs nothing).
+
+        PURE NUMPY + cached template: unpack runs once per fringe push,
+        and rebuilding the template via `initial_state` made every call a
+        device round-trip — ~30ms each over a tunneled chip, which turned
+        cutset enqueues into the solver's dominant cost (an LCS superstep
+        spent 109 of 124s in these fetches, round-4 cProfile).
         """
-        template = self.initial_state(self.data)
-        leaves, treedef = jax.tree_util.tree_flatten(template)
+        spec = getattr(self, "_unpack_spec", None)
+        if spec is None:
+            template = self.initial_state(self.data)
+            np_tpl = jax.tree_util.tree_map(np.asarray, template)
+            leaves, treedef = jax.tree_util.tree_flatten(np_tpl)
+            spec = (treedef, [(l.shape, l.dtype, l.ndim) for l in leaves])
+            self._unpack_spec = spec
+        treedef, leaf_specs = spec
         out, k = [], 0
         cols = np.asarray(cols)
-        for leaf in leaves:
-            size = int(np.prod(leaf.shape)) if leaf.ndim else 1
-            chunk = cols[k : k + size].astype(np.asarray(leaf).dtype)
-            out.append(chunk.reshape(leaf.shape) if leaf.ndim else chunk[0])
+        for shape, dtype, ndim in leaf_specs:
+            size = int(np.prod(shape)) if ndim else 1
+            chunk = cols[k : k + size].astype(dtype)
+            out.append(chunk.reshape(shape) if ndim else chunk[0])
             k += size
         return jax.tree_util.tree_unflatten(treedef, out)
 

@@ -57,6 +57,7 @@ from ddo_tpu.core.problem import ModelBundle, Problem
 from ddo_tpu.core.types import CompilationType, CutsetType, SubProblem
 from ddo_tpu.engine import backward as bwd
 from ddo_tpu.ops import segments as seg_ops
+from ddo_tpu.ops import sort_pallas as sort_ops
 from ddo_tpu.utils.num import INF, NEG_INF, VALUE_DTYPE, sat_add, sat_sub
 
 I32 = jnp.int32
@@ -412,8 +413,13 @@ def _forward_setup(spec: DDSpec, datas, root_state, root_value, root_depth, best
         if "sort1" in _ablate:
             sorted_ops = key_ops + tuple(pay)
         else:
-            sorted_ops = jax.lax.sort(
-                key_ops + tuple(pay), num_keys=len(key_ops), is_stable=False
+            # multi_sort = lax.sort by default (measured fastest at the
+            # engine's lane counts), with the packed Pallas network
+            # available behind DDO_PALLAS_SORT for A/Bs; bit-equal either
+            # way — the -idxs key makes the order total, so unstable
+            # sorts agree across backends
+            sorted_ops = sort_ops.multi_sort(
+                key_ops + tuple(pay), num_keys=len(key_ops)
             )
         kv = jnp.stack(sorted_ops[1 : 1 + K], axis=1)
         val_s_raw = -sorted_ops[1 + K]
@@ -547,7 +553,7 @@ def _forward_setup(spec: DDSpec, datas, root_state, root_value, root_depth, best
         if "sort2" in _ablate:
             sorted2 = q_keys
         else:
-            sorted2 = jax.lax.sort(q_keys, num_keys=len(q_keys), is_stable=False)
+            sorted2 = sort_ops.multi_sort(q_keys, num_keys=len(q_keys))
         so_val = -sorted2[1]
         order2 = -sorted2[-1]
         so_valid = sorted2[0] == 0

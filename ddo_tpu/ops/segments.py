@@ -206,7 +206,9 @@ def scatter_i32(idx, values, size):
     bitonic sort keyed on `idx` (out[k] = value paired with idx == k)."""
     if size * idx.shape[0] <= _ONEHOT_ELEMS:
         return onehot_scatter_i32(idx, values, size)
-    _, out = jax.lax.sort((idx, values), num_keys=1, is_stable=False)
+    from ddo_tpu.ops.sort_pallas import multi_sort
+
+    _, out = multi_sort((idx, values), num_keys=1)
     return out
 
 
@@ -217,5 +219,7 @@ def scatter_multi_i32(idx, values, size):
     ~65us/col at [64, 2560] on v5e vs ~1.5ms for a separate network."""
     if size * idx.shape[0] <= _ONEHOT_ELEMS:
         return tuple(onehot_scatter_i32(idx, v, size) for v in values)
-    out = jax.lax.sort((idx,) + tuple(values), num_keys=1, is_stable=False)
+    from ddo_tpu.ops.sort_pallas import multi_sort
+
+    out = multi_sort((idx,) + tuple(values), num_keys=1)
     return out[1:]
