@@ -249,6 +249,108 @@ def main():
         ),
         -6616000,
     )
+
+    # ----- one TTO row per additional family (VERDICT r3 #7: the failing
+    # families' perf must be visible round-over-round, not just the easy
+    # three).  Solver configs mirror tests/slow/test_reference_parity.py;
+    # expected optima come from the reference's tests.rs tables.
+    from ddo_tpu.models.max2sat import Max2SatRanking, Max2SatRelax
+    from ddo_tpu.models.max2sat import read_instance as m2s_read
+
+    m2 = m2s_read(f"{R}/max2sat/frb10-6-1.wcnf")
+    m2_bundle = ModelBundle(m2, Max2SatRelax(m2), Max2SatRanking())
+    tto["max2sat_frb10-6-1"] = time_to_optimal(
+        "max2sat_frb10-6-1",
+        lambda: ddo_tpu.SequentialSolver(
+            m2_bundle, width_heu=FixedWidth(8), batch=8, cache=SimpleCache(),
+        ),
+        37037,
+    )
+
+    from ddo_tpu.models.sop import SopRanking, SopRelax, SopWidth
+    from ddo_tpu.models.sop import read_instance as sop_read
+
+    so = sop_read(f"{R}/sop/ESC07.sop")
+    so_bundle = ModelBundle(so, SopRelax(so), SopRanking())
+    tto["sop_ESC07"] = time_to_optimal(
+        "sop_ESC07",
+        lambda: ddo_tpu.SequentialSolver(
+            so_bundle, width_heu=SopWidth(so.nb_variables, 1), batch=8,
+            cache=SimpleCache(), cutset_type=ddo_tpu.FRONTIER,
+            buffer_width=max(64, so.nb_jobs),
+        ),
+        -2125,  # tests.rs optimum 2125; solver maximizes the negation
+    )
+
+    from ddo_tpu.models.srflp import SrflpRanking, SrflpRelax, SrflpWidth
+    from ddo_tpu.models.srflp import read_instance as srflp_read
+
+    sf = srflp_read(f"{R}/srflp/Cl8")
+    sf_bundle = ModelBundle(sf, SrflpRelax(sf), SrflpRanking())
+    tto["srflp_Cl8"] = time_to_optimal(
+        "srflp_Cl8",
+        lambda: ddo_tpu.SequentialSolver(
+            sf_bundle, width_heu=SrflpWidth(sf.nb_variables, 1), batch=8,
+            cache=SimpleCache(), cutset_type=ddo_tpu.FRONTIER,
+            buffer_width=max(64, sf.nb_variables),
+        ),
+        sf.root_value - 6295,  # tests.rs optimum 6295 = root_value - best
+    )
+
+    from ddo_tpu.models.talentsched import TalentSchedRanking, TalentSchedRelax
+    from ddo_tpu.models.talentsched import read_instance as ts_read
+
+    ts = ts_read(f"{R}/talentsched/concert")
+    ts_bundle = ModelBundle(ts, TalentSchedRelax(ts), TalentSchedRanking())
+    tto["talentsched_concert"] = time_to_optimal(
+        "talentsched_concert",
+        lambda: ddo_tpu.SequentialSolver(
+            ts_bundle, width_heu=FixedWidth(100), batch=8, cache=SimpleCache(),
+            cutset_type=ddo_tpu.FRONTIER,
+        ),
+        -111,
+    )
+
+    from ddo_tpu.models.golomb import Golomb, GolombRanking, GolombRelax
+
+    go = Golomb(7)
+    go_bundle = ModelBundle(go, GolombRelax(go), GolombRanking())
+    tto["golomb7"] = time_to_optimal(
+        "golomb7",
+        lambda: ddo_tpu.SequentialSolver(
+            go_bundle, width_heu=FixedWidth(10), batch=8, cache=SimpleCache(),
+            cutset_type=ddo_tpu.FRONTIER,
+        ),
+        -25,
+    )
+
+    from ddo_tpu.models.alp import AlpDominance, AlpRanking, AlpRelax
+    from ddo_tpu.models.alp import read_instance as alp_read
+
+    al = alp_read(f"{R}/alp/alp_n25_r1_c2_std10_s0")
+    al_bundle = ModelBundle(al, AlpRelax(al), AlpRanking())
+    tto["alp_n25_r1_c2_std10_s0"] = time_to_optimal(
+        "alp_n25_r1_c2_std10_s0",
+        lambda: ddo_tpu.SequentialSolver(
+            al_bundle, width_heu=FixedWidth(64), batch=8, cache=SimpleCache(),
+            cutset_type=ddo_tpu.FRONTIER,
+            dominance=SimpleDominanceChecker(AlpDominance(), al.nb_variables),
+        ),
+        -755,  # alp/tests.rs optimum 755
+    )
+
+    from ddo_tpu.models.psp import PspRanking, PspRelax
+    from ddo_tpu.models.psp import read_instance as psp_read
+
+    ps, _ = psp_read(f"{R}/psp/instancesWith5items/1")
+    ps_bundle = ModelBundle(ps, PspRelax(ps), PspRanking())
+    tto["psp_5items_1"] = time_to_optimal(
+        "psp_5items_1",
+        lambda: ddo_tpu.SequentialSolver(
+            ps_bundle, width_heu=FixedWidth(250), batch=8, cache=SimpleCache(),
+        ),
+        -1377,  # psp/tests.rs optimum 1377
+    )
     extra["time_to_optimal_s"] = tto
 
     print(

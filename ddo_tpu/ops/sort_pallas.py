@@ -311,16 +311,26 @@ def _pallas_wanted():
 
     DDO_PALLAS_SORT: "1" forces the compiled packed kernel (TPU),
     "interpret" forces the packed path in interpret mode (CPU test
-    coverage of the exact engine integration); anything else = lax.sort.
+    coverage of the exact engine integration), "lax-chunked" splits
+    big-lane batches into small-lane lax.sorts; anything else =
+    one lax.sort.
     """
     import os
 
     flag = os.environ.get("DDO_PALLAS_SORT", "")
     if flag == "interpret":
         return "interpret"
+    if flag == "lax-chunked":
+        return "lax-chunked"
     if flag == "1" and pl is not None:
         return "compiled"
     return None
+
+
+#: lane-group size for the big-lane lax.sort split (see multi_sort);
+#: measured v5e: lax.sort per-lane cost is flat up to ~8 lanes and grows
+#: super-linearly beyond, so 64-lane bench shapes sort faster as 8x[8, C]
+_LAX_LANE_CHUNK = int(__import__("os").environ.get("DDO_SORT_LANE_CHUNK", "8"))
 
 
 @functools.lru_cache(maxsize=None)
@@ -339,6 +349,19 @@ def _get_sorter(num_keys, n_ops, mode):
             o if b else jnp.broadcast_to(o[None], (axis_size,) + o.shape)
             for o, b in zip(ops, in_batched)
         ]
+        if mode == "lax-chunked":
+            G = _LAX_LANE_CHUNK
+            outs = [
+                jax.lax.sort(
+                    tuple(o[i : i + G] for o in ops),
+                    num_keys=num_keys, is_stable=False,
+                )
+                for i in range(0, axis_size, G)
+            ]
+            res = tuple(
+                jnp.concatenate([c[t] for c in outs]) for t in range(n_ops)
+            )
+            return res, (True,) * n_ops
         outs = sort_packed(ops, num_keys, interpret=interpret)
         return tuple(outs), (True,) * n_ops
 
@@ -347,10 +370,14 @@ def _get_sorter(num_keys, n_ops, mode):
 
 def multi_sort(operands, num_keys):
     """Engine sort dispatch: `lax.sort(ops, num_keys, is_stable=False)`
-    semantics on 1-D int32 operands, with the packed Pallas kernel under
-    the superstep vmap on TPU.  Call sites must guarantee a total order
-    (unique final key) — both backends are unstable sorts, and the total
-    order is what makes their results bit-equal."""
+    semantics on 1-D int32 operands.  Backends (all bit-equal because
+    call sites guarantee a total order via a unique final key):
+
+      * default          — one variadic lax.sort over the full lane batch;
+      * DDO_PALLAS_SORT=1/interpret — the packed Pallas kernel;
+      * DDO_PALLAS_SORT=lax-chunked — lax.sort split into
+        DDO_SORT_LANE_CHUNK-lane groups (big-lane shapes only).
+    """
     operands = tuple(operands)
     mode = _pallas_wanted()
     if mode is None:

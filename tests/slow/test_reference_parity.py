@@ -214,6 +214,13 @@ def test_talentsched(fname, opt):
 # --------------------------------------------------------------------------
 @pytest.mark.parametrize("fname,opt", _params(REF.LCS))
 def test_lcs(fname, opt):
+    """Long-arc LCS (model.rs:162 is_impacted_by + pooled-style engine).
+
+    Config mirrors lcs/main.rs: NbUnassignedWidth (their default) +
+    frontier cutset + cache + dominance.  The dense engine's buffer width
+    bounds BOTH the active layer and the pool (the reference's pool is
+    unbounded), so 256 is a measured compromise: wider buffers give
+    stronger bounds but ~n*W*D-scaled layer cost over 849 layers."""
     from ddo_tpu.models.lcs import (
         LcsDominance, LcsRanking, LcsRelax, read_instance,
     )
@@ -221,7 +228,8 @@ def test_lcs(fname, opt):
     pb = read_instance(f"{R}/lcs/{fname}")
     bundle = ModelBundle(pb, LcsRelax(pb), LcsRanking())
     solver = ddo_tpu.SequentialSolver(
-        bundle, width_heu=FixedWidth(64), batch=8,
+        bundle, width_heu=ddo_tpu.NbUnassignedWidth(pb.nb_variables), batch=8,
+        buffer_width=256,
         cache=ddo_tpu.SimpleCache(), cutset_type=ddo_tpu.FRONTIER,
         dominance=SimpleDominanceChecker(LcsDominance(), pb.nb_variables),
     )
