@@ -169,18 +169,54 @@ def _tree_where_mask(mask, a, b):
 
 
 def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best_lb,
-                   eff_width, root_path_set=None, cache_tab=None, dom_tab=None):
+                   eff_width, root_path_set=None, cache_tab=None, dom_tab=None,
+                   start_layer=0):
     """Trace-time body of one full DD compilation (forward scan over all
     layers + finalization).  See `_forward_setup` for the layer semantics
     and `finalize_kernel` for the backward passes; chunked compilation
     (DDCompiler.compile_batch with `chunk_layers`) drives the same pieces
-    with host control between chunks so a Cutoff can interrupt."""
+    with host control between chunks so a Cutoff can interrupt.
+
+    `start_layer` (STATIC) skips the forward scan's leading layers: a DD
+    rooted at depth d produces nothing before layer d, yet the scan paid
+    the full per-layer pipeline for every empty layer — for deep B&B
+    phases (fringe nodes at depth 500+ of an 849-var LCS, or knapsack
+    n=2000 deep dives) most of the superstep was empty-layer work.
+    Callers must guarantee start_layer <= root_depth (solvers bucket the
+    batch's min depth to n/4 multiples, so <=4 extra traces per spec).
+    Outputs are zero-padded in-jit to the full [n, ...] stacks, so
+    finalization and every host consumer see identical shapes."""
     n = spec.bundle.problem.nb_variables
     forward_step, init = _forward_setup(
         spec, datas, root_state, root_value, root_depth, best_lb, eff_width,
         root_path_set, cache_tab, dom_tab,
     )
-    scan_out = jax.lax.scan(forward_step, init, jnp.arange(n, dtype=I32))
+    i0 = int(start_layer)
+    scan_out = jax.lax.scan(forward_step, init, jnp.arange(i0, n, dtype=I32))
+    if i0 > 0:
+        carry, (ys, ye, var_of) = scan_out
+        pad = lambda a: jnp.concatenate(
+            [jnp.zeros((i0,) + a.shape[1:], a.dtype), a], axis=0
+        )
+        ys = jax.tree_util.tree_map(pad, ys)
+        # neutral pad values where zero is not neutral: empty layers carry
+        # val=-inf, rub/wlth/eptheta=+inf, bp/child=-1 (masks stay False)
+        ys["val"] = ys["val"].at[:i0].set(NEG_INF)
+        ys["rub"] = ys["rub"].at[:i0].set(INF)
+        ys["wlth"] = ys["wlth"].at[:i0].set(INF)
+        ys["eptheta"] = ys["eptheta"].at[:i0].set(INF)
+        ys["bp"] = ys["bp"].at[:i0].set(-1)
+        ye = jax.tree_util.tree_map(pad, ye)
+        ye["child"] = ye["child"].at[:i0].set(-1)
+        # var_of below every root depth is never read by path walks; fill
+        # it exactly anyway when the order is static (bit-identical planes
+        # vs the full scan — the skip-equivalence test relies on it)
+        order = spec.bundle.problem.var_order(datas[0])
+        if order is not None:
+            var_of = jnp.concatenate([jnp.asarray(order[:i0], I32), var_of])
+        else:
+            var_of = pad(var_of)
+        scan_out = (carry, (ys, ye, var_of))
     return finalize_kernel(spec, datas, scan_out, best_lb, root_depth)
 
 
@@ -1044,10 +1080,19 @@ def _compile_jit(spec, datas, root_state, root_value, root_depth, best_lb, eff_w
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
+def _depth_bucket(n, min_depth):
+    """Largest start-layer bucket (multiple of n//4) <= min_depth: at most
+    4 scan-length traces per spec, capturing most of the deep-phase win."""
+    if n < 8 or min_depth <= 0:
+        return 0
+    k = min(3, (4 * int(min_depth)) // n)
+    return k * (n // 4)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1), static_argnames=("start_layer",))
 def _compile_fused_vjit(spec_r, spec_x, datas, root_states, root_values,
                         root_depths, best_lb, eff_widths, rpss, actives,
-                        cache_tab=None, dom_tab=None):
+                        cache_tab=None, dom_tab=None, start_layer=0):
     """ONE dispatch for the whole superstep: K restricted compiles, the
     in-graph incumbent reduction, then K relaxed compiles pruning against
     `max(best_lb, restricted global best)` — tighter than the reference,
@@ -1061,7 +1106,7 @@ def _compile_fused_vjit(spec_r, spec_x, datas, root_states, root_values,
     out_r = jax.vmap(
         lambda rs, rv, rd, ew, ps: compile_kernel(
             spec_r, datas, rs, rv, rd, best_lb, ew, ps,
-            cache_tab=cache_tab, dom_tab=dom_tab,
+            cache_tab=cache_tab, dom_tab=dom_tab, start_layer=start_layer,
         )
     )(root_states, root_values, root_depths, eff_widths, rpss)
     g_r, t_r = _batch_stats(out_r, actives)
@@ -1069,7 +1114,7 @@ def _compile_fused_vjit(spec_r, spec_x, datas, root_states, root_values,
     out_x = jax.vmap(
         lambda rs, rv, rd, ew, ps: compile_kernel(
             spec_x, datas, rs, rv, rd, lb2, ew, ps,
-            cache_tab=cache_tab, dom_tab=dom_tab,
+            cache_tab=cache_tab, dom_tab=dom_tab, start_layer=start_layer,
         )
     )(root_states, root_values, root_depths, eff_widths, rpss)
     # lanes whose restricted DD came out exact have their relaxed outputs
@@ -1081,9 +1126,10 @@ def _compile_fused_vjit(spec_r, spec_x, datas, root_states, root_values,
     return out_r, g_r, t_r, out_x, g_x, t_x
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("start_layer",))
 def _compile_vjit(spec, datas, root_states, root_values, root_depths, best_lb,
-                  eff_widths, rpss, actives, cache_tab=None, dom_tab=None):
+                  eff_widths, rpss, actives, cache_tab=None, dom_tab=None,
+                  start_layer=0):
     """K-lane batched compilation (the B&B superstep workhorse).
 
     The filter snapshot tables are shared by every lane (closed over, not
@@ -1092,7 +1138,7 @@ def _compile_vjit(spec, datas, root_states, root_values, root_depths, best_lb,
     out = jax.vmap(
         lambda rs, rv, rd, ew, ps: compile_kernel(
             spec, datas, rs, rv, rd, best_lb, ew, ps,
-            cache_tab=cache_tab, dom_tab=dom_tab,
+            cache_tab=cache_tab, dom_tab=dom_tab, start_layer=start_layer,
         )
     )(root_states, root_values, root_depths, eff_widths, rpss)
     return (out,) + _batch_stats(out, actives)
@@ -1415,15 +1461,17 @@ class DDCompiler:
             subs, eff_widths, pad_to
         )
         n = self.bundle.problem.nb_variables
+        i0 = _depth_bucket(n, min(s.depth for s in subs))
         if chunk_layers and cutoff is not None and n > chunk_layers:
             out, gbest, texp = self._compile_chunked(
                 spec, states, values, depths, best_lb, widths, psets, actives,
-                cache_tab, dom_tab, cutoff, int(chunk_layers),
+                cache_tab, dom_tab, cutoff, int(chunk_layers), i0,
             )
         else:
             out, gbest, texp = _compile_vjit(
                 spec, self.bundle.datas, states, values, depths, best_lb,
                 widths, psets, actives, cache_tab=cache_tab, dom_tab=dom_tab,
+                start_layer=i0,
             )
         batch = _BatchPlanes(out)
         return CompiledBatch(
@@ -1443,10 +1491,13 @@ class DDCompiler:
         states, values, depths, widths, psets, actives = self._prep_batch(
             subs, eff_widths, pad_to
         )
+        i0 = _depth_bucket(
+            self.bundle.problem.nb_variables, min(s.depth for s in subs)
+        )
         out_r, g_r, t_r, out_x, g_x, t_x = _compile_fused_vjit(
             spec_r, spec_x, self.bundle.datas, states, values, depths,
             best_lb, widths, psets, actives,
-            cache_tab=cache_tab, dom_tab=dom_tab,
+            cache_tab=cache_tab, dom_tab=dom_tab, start_layer=i0,
         )
         br = _BatchPlanes(out_r)
         bx = _BatchPlanes(out_x)
@@ -1462,13 +1513,17 @@ class DDCompiler:
         )
 
     def _compile_chunked(self, spec, states, values, depths, best_lb, widths,
-                         psets, actives, cache_tab, dom_tab, cutoff, L):
+                         psets, actives, cache_tab, dom_tab, cutoff, L,
+                         start_layer=0):
         datas = self.bundle.datas
         n = self.bundle.problem.nb_variables
         K = values.shape[0]
         carries = jnp.zeros((K,), I32)  # dummy; first chunk builds in-kernel
         ys_chunks, ye_chunks, var_chunks = [], [], []
-        i0, first = 0, True
+        # leading chunks before every lane's root depth are skipped; the
+        # stacked outputs are zero-padded below so finalize sees [n] layers
+        skip = (int(start_layer) // L) * L
+        i0, first = skip, True
         while i0 < n:
             if cutoff.must_stop():
                 raise CutoffInterrupt()
@@ -1486,6 +1541,31 @@ class DDCompiler:
             i0, first = i0 + Lc, False
         if cutoff.must_stop():
             raise CutoffInterrupt()
+        if skip > 0:
+            # neutral-padded empty layers for the skipped prefix (masks
+            # False; val=-inf, rub/wlth/eptheta=+inf, bp/child=-1)
+            def padz(a):
+                z = jnp.zeros((a.shape[0], skip) + a.shape[2:], a.dtype)
+                return z
+
+            ys_p = jax.tree_util.tree_map(padz, ys_chunks[0])
+            ys_p["val"] = jnp.full_like(ys_p["val"], NEG_INF)
+            ys_p["rub"] = jnp.full_like(ys_p["rub"], INF)
+            ys_p["wlth"] = jnp.full_like(ys_p["wlth"], INF)
+            ys_p["eptheta"] = jnp.full_like(ys_p["eptheta"], INF)
+            ys_p["bp"] = jnp.full_like(ys_p["bp"], -1)
+            ye_p = jax.tree_util.tree_map(padz, ye_chunks[0])
+            ye_p["child"] = jnp.full_like(ye_p["child"], -1)
+            order = spec.bundle.problem.var_order(datas[0])
+            if order is not None:
+                var_p = jnp.broadcast_to(
+                    jnp.asarray(order[:skip], I32)[None], (K, skip)
+                )
+            else:
+                var_p = padz(var_chunks[0])
+            ys_chunks.insert(0, ys_p)
+            ye_chunks.insert(0, ye_p)
+            var_chunks.insert(0, var_p)
         return _finalize_vjit(
             spec, datas, carries, tuple(ys_chunks), tuple(ye_chunks),
             tuple(var_chunks), depths, best_lb, actives,

@@ -115,3 +115,49 @@ def test_lane_padding_preserves_results():
     assert a[0].best_value() == b[0].best_value() == b[2].best_value()
     assert b.total_expanded == 3 * a.total_expanded
     assert a.global_best == b.global_best
+
+
+def test_start_layer_skip_equivalence():
+    """The depth-bucketed forward-scan skip (`start_layer`) must produce
+    bit-identical planes to the full scan for a deep-rooted subproblem:
+    the skipped leading layers are empty by construction, and the in-jit
+    neutral padding must reconstruct exactly what the full scan wrote."""
+    import jax
+
+    from ddo_tpu.core.types import SubProblem
+    from ddo_tpu.engine.mdd import _compile_vjit, _depth_bucket
+
+    pb, bundle = _bundle(n=12, seed=11)
+    compiler = DDCompiler(bundle, 8, ddo_tpu.FRONTIER)
+    spec = compiler._specs[CompilationType.RELAXED]
+    root = root_subproblem(pb)
+    # a subproblem rooted deep (depth 7 of 12): path fixes vars 0..6
+    import numpy as np_
+    vals = np_.zeros(pb.nb_variables, np_.int32)
+    pset = np_.zeros(pb.nb_variables, bool)
+    pset[:7] = True
+    deep = SubProblem(state=root.state, value=5, path_vals=vals,
+                      path_set=pset, ub=10**9, depth=7)
+
+    def planes(i0):
+        out, gb, te = _compile_vjit(
+            spec, bundle.datas,
+            jax.tree_util.tree_map(lambda a: np_.asarray(a)[None], deep.state),
+            np_.asarray([deep.value], np_.int32),
+            np_.asarray([deep.depth], np_.int32),
+            NEG_INF,
+            np_.asarray([4], np_.int32),
+            np_.asarray(deep.path_set)[None],
+            np_.ones(1, bool),
+            start_layer=i0,
+        )
+        return {k: np_.asarray(v) for k, v in out.items()
+                if not isinstance(v, dict)}, int(te)
+
+    bucket = _depth_bucket(pb.nb_variables, deep.depth)
+    assert bucket > 0  # the test must actually exercise the skip
+    full, te_full = planes(0)
+    skip, te_skip = planes(bucket)
+    assert te_full == te_skip
+    for k in full:
+        np.testing.assert_array_equal(full[k], skip[k], err_msg=k)
