@@ -63,6 +63,34 @@ from ddo_tpu.utils.num import INF, NEG_INF, VALUE_DTYPE, sat_add, sat_sub
 I32 = jnp.int32
 
 
+def _scan_unroll(spec: "DDSpec") -> int:
+    """Unroll factor for the forward layer scan (trace-time static).
+
+    Narrow DDs (the reference's FixedWidth(2) knapsack config,
+    knapsack/main.rs:317-337) make the per-layer candidate tensors tiny
+    (C = W*D <= 64), so a whole forward step is a handful of microseconds
+    of real work wrapped in one loop iteration of dispatch overhead — and
+    an n=2000 instance pays that overhead 2000 times per compile.
+    Unrolling the `lax.scan` body amortizes the per-iteration cost across
+    several layers while XLA fuses the concatenated bodies; at large C the
+    body is compute-bound and unrolling only slows compilation down.
+    Thresholds are measured on v5e (see ROUND4_NOTES); DDO_SCAN_UNROLL
+    overrides for A/B runs."""
+    env = __import__("os").environ.get("DDO_SCAN_UNROLL")
+    if env:
+        return max(1, int(env))
+    if jax.default_backend() == "cpu":
+        # CPU scans have negligible per-iteration overhead; unrolling only
+        # multiplies XLA:CPU compile time (measured 2x on the fast suite)
+        return 1
+    C = spec.width * spec.bundle.problem.domain_size
+    if C <= 64:
+        return 8
+    if C <= 256:
+        return 4
+    return 1
+
+
 @dataclasses.dataclass(frozen=True)
 class DDSpec:
     """Static configuration of one compilation kernel (jit cache key)."""
@@ -192,7 +220,10 @@ def compile_kernel(spec: DDSpec, datas, root_state, root_value, root_depth, best
         root_path_set, cache_tab, dom_tab,
     )
     i0 = int(start_layer)
-    scan_out = jax.lax.scan(forward_step, init, jnp.arange(i0, n, dtype=I32))
+    scan_out = jax.lax.scan(
+        forward_step, init, jnp.arange(i0, n, dtype=I32),
+        unroll=_scan_unroll(spec),
+    )
     if i0 > 0:
         carry, (ys, ye, var_of) = scan_out
         pad = lambda a: jnp.concatenate(
@@ -1034,7 +1065,8 @@ def _forward_chunk_vjit(spec, datas, L, first, i0, carries, root_states,
             spec, datas, rs, rv, rd, best_lb, ew, ps, cache_tab, dom_tab
         )
         return jax.lax.scan(
-            fstep, init if first else carry, i0 + jnp.arange(L, dtype=I32)
+            fstep, init if first else carry, i0 + jnp.arange(L, dtype=I32),
+            unroll=_scan_unroll(spec),
         )
 
     return jax.vmap(one)(carries, root_states, root_values, root_depths,
@@ -1477,7 +1509,7 @@ class DDCompiler:
         return CompiledBatch(
             [CompiledDD(spec, _LaneView(batch, k), sub)
              for k, sub in enumerate(subs)],
-            gbest, texp,
+            gbest, texp, spec=spec, planes=batch, actives=actives,
         )
 
     def compile_fused(self, subs, best_lb: int, eff_widths, cache_tab=None,
@@ -1505,10 +1537,12 @@ class DDCompiler:
             CompiledBatch(
                 [CompiledDD(spec_r, _LaneView(br, k), sub)
                  for k, sub in enumerate(subs)], g_r, t_r,
+                spec=spec_r, planes=br, actives=actives,
             ),
             CompiledBatch(
                 [CompiledDD(spec_x, _LaneView(bx, k), sub)
                  for k, sub in enumerate(subs)], g_x, t_x,
+                spec=spec_x, planes=bx, actives=actives,
             ),
         )
 
@@ -1572,16 +1606,65 @@ class DDCompiler:
         )
 
 
+def paths_batch_multi(planes: "_BatchPlanes", lanes, layers, slots, roots):
+    """Best-path walk for rows spread across a batch's lanes: one host
+    loop over layers for ALL rows of ALL lanes (vs `_paths_batch` per
+    lane).  `roots[k]` is lane k's root SubProblem; returns ([M, n] path
+    values, [M, n] decided mask) rows aligned with (lanes, layers, slots).
+
+    Mirrors `CompiledDD._path` (clean.rs:325-343): best in-edges walked
+    to the lane's root depth, long (skip) arcs record no decision."""
+    M = len(lanes)
+    bp = planes.get("bp")
+    bd = planes.get("bd")
+    bs = planes.get("bs")
+    var_of = planes.get("var_of")
+    n = var_of.shape[1]
+    vals = np.stack([roots[k].path_vals for k in lanes]).astype(np.int32)
+    pset = np.stack([roots[k].path_set for k in lanes]).astype(bool)
+    if M == 0:
+        return vals, pset
+    d0 = min(roots[k].depth for k in set(lanes.tolist()))
+    cur_l = np.asarray(layers, np.int64).copy()
+    cur_s = np.asarray(slots, np.int64).copy()
+    ln = np.asarray(lanes, np.int64)
+    rows = np.arange(M)
+    for l in range(n, d0, -1):
+        act = cur_l == l
+        if not act.any():
+            continue
+        r = rows[act]
+        lr = ln[r]
+        ss = cur_s[r]
+        var = var_of[lr, l - 1].astype(np.int64)
+        rec = ~bs[lr, l, ss]
+        vals[r, var] = np.where(rec, bd[lr, l, ss], vals[r, var])
+        pset[r, var] |= rec
+        cur_s[r] = bp[lr, l, ss]
+        cur_l[r] -= 1
+    return vals, pset
+
+
 class CompiledBatch(list):
     """List of per-lane `CompiledDD` views + the batch-level reductions
     computed inside the compile jit (`_batch_stats`): the solver reads two
     scalars per superstep instead of per-lane planes, and on a sharded
     mesh the reductions ride ICI collectives (VERDICT r2 #7)."""
 
-    def __init__(self, views, global_best_dev, total_expanded_dev):
+    def __init__(self, views, global_best_dev, total_expanded_dev,
+                 spec=None, planes=None, actives=None):
         super().__init__(views)
         self._gbest = global_best_dev
         self._texp = total_expanded_dev
+        self.spec = spec
+        self._planes = planes
+        self.actives = actives
+
+    @property
+    def dev(self):
+        """The raw batch output dict (device arrays, leading K dim) —
+        consumed by the device-side compact extraction (engine/extract.py)."""
+        return self._planes._dev if self._planes is not None else None
 
     @property
     def global_best(self) -> int:

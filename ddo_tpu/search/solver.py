@@ -38,7 +38,8 @@ from ddo_tpu.core.types import (
     SubProblem,
     root_subproblem,
 )
-from ddo_tpu.engine.mdd import DDCompiler
+from ddo_tpu.engine import extract as EX
+from ddo_tpu.engine.mdd import DDCompiler, paths_batch_multi
 from ddo_tpu.search.cache import Cache, EmptyCache, SimpleCache
 from ddo_tpu.search.dominance import DominanceChecker, EmptyDominanceChecker
 from ddo_tpu.search.fringe import Fringe, NoDupFringe
@@ -132,6 +133,16 @@ class SequentialSolver:
             fringe if fringe is not None else NoDupFringe(subproblem_ranking)
         )
         self.batch = batch
+        # device-side compact extraction (engine/extract.py): selected rows
+        # cross the host link instead of whole [K, n+1, W] planes.  Default
+        # ON for accelerator backends (host link = PCIe or, here, a
+        # ~100ms-latency tunnel), OFF on CPU where plane "transfers" are
+        # free and the extra jits only cost compile time.
+        # DDO_COMPACT=0/1 overrides either way (A/Bs, tests).
+        import os as _os
+        import jax as _jax
+        _default = "0" if _jax.default_backend() == "cpu" else "1"
+        self._compact = _os.environ.get("DDO_COMPACT", _default) != "0"
 
         self.best_lb = NEG_INF
         self.best_ub = INF
@@ -263,6 +274,129 @@ class SequentialSolver:
             return None, None
         return self.cache.snapshot(), self.dominance.snapshot()
 
+    # ------- device-side compact extraction (engine/extract.py) ----------
+    def _extract_batch(self, cb, exclude_exact_of=None, want_cutset=False):
+        """Launch the compact-row extraction jits for one compiled batch
+        and async-prefetch every result plus the small per-lane planes the
+        superstep reads — ONE overlapped tunnel round-trip instead of
+        ~40 blocking plane fetches (~100ms each over this environment's
+        tunneled chip; measured, ROUND4_NOTES)."""
+        dev = cb.dev
+        act = cb.actives
+        if exclude_exact_of is not None:
+            rdev = exclude_exact_of.dev
+            act = act & ~(rdev["is_exact_dd"] | rdev["has_ebp"])
+        K, n1, W = dev["value"].shape
+        Mc, Md, Mu = EX.extract_caps(K, n1, W)
+        use_dom = (
+            self.filtering and self.dominance.dom is not None and "dkey" in dev
+        )
+        res = {}
+        if not isinstance(self.cache, EmptyCache):
+            res["cache"] = EX.cache_rows(
+                dev["has_theta"], dev["above"], dev["cutflag"],
+                dev["wl_unexplored"], dev["theta"], dev["keys"], act, M=Mc,
+            )
+        if use_dom:
+            res["dom"] = EX.exact_rows(
+                dev["exact"], dev["mask"], dev["value"], dev["dkey"],
+                dev["dcoord"], act, M=Md,
+            )
+        if want_cutset:
+            act_cut = act & ~(dev["is_exact_dd"] | dev["has_ebp"])
+            zcols = dev["keys"][:, :, :0, :]
+            res["cut"] = EX.cutset_rows(
+                dev["cutflag"], dev["marked"], dev["value"], dev["rub"],
+                dev["value_bot"], dev["rank0"], dev["keys"],
+                dev["best_value"], dev["feasible"],
+                dev.get("dkey", zcols), dev.get("dcoord", zcols),
+                act_cut, M=Mu, with_dom=use_dom,
+            )
+            EX.prefetch([dev[k] for k in ("bp", "bd", "bs", "var_of")])
+        EX.prefetch([dev[k] for k in (
+            "is_exact_dd", "has_ebp", "bx_feasible", "bx_value", "bx_slot",
+            "overflow", "feasible", "best_value", "root_depth",
+        )])
+        EX.prefetch([cb._gbest, cb._texp])
+        EX.prefetch(res)
+        return res
+
+    def _apply_cache_compact(self, res):
+        ex = res.get("cache")
+        if ex is None:
+            return
+        cnt = min(int(ex["count"]), ex["depths"].shape[0])
+        if cnt == 0:
+            return
+        self.cache.update_batch(
+            np.asarray(ex["depths"])[:cnt], np.asarray(ex["keys"])[:cnt],
+            np.asarray(ex["thetas"])[:cnt], np.asarray(ex["explored"])[:cnt],
+        )
+
+    def _absorb_dominance_compact(self, res):
+        ex = res.get("dom")
+        if ex is None:
+            return
+        cnt = min(int(ex["count"]), ex["depths"].shape[0])
+        if cnt == 0:
+            return
+        self.dominance.insert_batch(
+            np.asarray(ex["depths"])[:cnt], np.asarray(ex["dkeys"])[:cnt],
+            np.asarray(ex["dcoords"])[:cnt], np.asarray(ex["values"])[:cnt],
+        )
+
+    def _enqueue_cutset_compact(self, res, batch, relaxed):
+        """Enqueue every cutset row from the compacted extraction.
+        Returns False when the row cap overflowed (cutsets may NOT be
+        truncated) — the caller falls back to the full-plane path."""
+        ex = res["cut"]
+        cnt = int(ex["count"])
+        if cnt > ex["lanes"].shape[0]:
+            return False
+        if cnt == 0:
+            return True
+        lanes = np.asarray(ex["lanes"])[:cnt]
+        layers = np.asarray(ex["layers"])[:cnt]
+        slots = np.asarray(ex["slots"])[:cnt]
+        keys = np.asarray(ex["keys"])[:cnt]
+        values = np.asarray(ex["values"])[:cnt].astype(np.int64)
+        ubs = np.asarray(ex["ubs"])[:cnt].astype(np.int64)
+        node_ub = np.asarray([nd.ub for nd in batch], np.int64)
+        ubs = np.minimum(ubs, node_ub[lanes])
+        keep = ubs > self.best_lb
+        in_compile_dom = "dkeys" in ex
+        if in_compile_dom:
+            dkeys = np.asarray(ex["dkeys"])[:cnt]
+            dcoords = np.asarray(ex["dcoords"])[:cnt]
+            keep &= ~self.dominance.is_dominated_batch(
+                layers, dkeys, dcoords, values
+            )
+        rows = np.flatnonzero(keep)
+        if len(rows) == 0:
+            return True
+        vals, psets = paths_batch_multi(
+            relaxed._planes, lanes[rows], layers[rows], slots[rows], batch
+        )
+        for j, i in enumerate(rows):
+            state = self.problem.unpack(keys[i])
+            if not in_compile_dom:
+                resd = self.dominance.is_dominated_or_insert(
+                    state, keys[i].tobytes(), int(layers[i]), int(values[i])
+                )
+                if resd.dominated:
+                    continue
+            sub = SubProblem(
+                state=state, value=int(values[i]), path_vals=vals[j],
+                path_set=psets[j], ub=int(ubs[i]), depth=int(layers[i]),
+                key=np.ascontiguousarray(keys[i], np.int32).tobytes(),
+                dom_key=dkeys[i] if in_compile_dom else None,
+                dom_coords=dcoords[i] if in_compile_dom else None,
+            )
+            before = len(self.fringe)
+            self.fringe.push(sub)
+            self.open_by_layer[sub.depth] += len(self.fringe) - before
+        return True
+
     def _process_batch(self, batch):
         """sequential.rs:329-389 vectorized over the batch."""
         if not batch:
@@ -288,6 +422,7 @@ class SequentialSolver:
             cutoff=self.cutoff, chunk_layers=self.compile_chunk,
             pad_to=self.batch,
         )
+        ex_r = self._extract_batch(restricted) if self._compact else None
         t1 = time.perf_counter()
         self.stats.restricted_s += t1 - t0
         # batch-level reductions computed inside the compile jit (ICI
@@ -295,14 +430,20 @@ class SequentialSolver:
         self.expanded_nodes += restricted.total_expanded
         need_relax, widths2 = [], []
         improved = restricted.global_best > self.best_lb
+        if improved and self._compact:
+            EX.prefetch([restricted.dev[k] for k in ("bp", "bd", "bs", "var_of")])
         for nd, dd, w in zip(batch, restricted, widths):
             if improved:
                 self._maybe_update_best(dd)
-            self._apply_cache_updates(dd)
-            self._absorb_dominance(dd)
+            if not self._compact:
+                self._apply_cache_updates(dd)
+                self._absorb_dominance(dd)
             if not dd.is_exact():
                 need_relax.append(nd)
                 widths2.append(w)
+        if self._compact:
+            self._apply_cache_compact(ex_r)
+            self._absorb_dominance_compact(ex_r)
         self.stats.host_s += time.perf_counter() - t1
 
         if not need_relax:
@@ -317,6 +458,10 @@ class SequentialSolver:
             cutoff=self.cutoff, chunk_layers=self.compile_chunk,
             pad_to=self.batch,
         )
+        ex_x = (
+            self._extract_batch(relaxed, want_cutset=True)
+            if self._compact else None
+        )
         t3 = time.perf_counter()
         self.stats.relaxed_s += t3 - t2
         self.expanded_nodes += relaxed.total_expanded
@@ -324,10 +469,20 @@ class SequentialSolver:
         for nd, dd in zip(need_relax, relaxed):
             if improved:
                 self._maybe_update_best(dd)
-            self._apply_cache_updates(dd)
-            self._absorb_dominance(dd)
-            if not dd.is_exact():
-                self._enqueue_cutset(nd, dd)
+            if not self._compact:
+                self._apply_cache_updates(dd)
+                self._absorb_dominance(dd)
+                if not dd.is_exact():
+                    self._enqueue_cutset(nd, dd)
+        if self._compact:
+            self._apply_cache_compact(ex_x)
+            self._absorb_dominance_compact(ex_x)
+            for dd in relaxed:
+                dd._check_overflow()
+            if not self._enqueue_cutset_compact(ex_x, need_relax, relaxed):
+                for nd, dd in zip(need_relax, relaxed):
+                    if not dd.is_exact():
+                        self._enqueue_cutset(nd, dd)
         self.stats.host_s += time.perf_counter() - t3
 
     def _process_batch_fused(self, batch, widths, best_lb):
@@ -352,27 +507,48 @@ class SequentialSolver:
             batch, best_lb, widths, cache_tab=cache_tab, dom_tab=dom_tab,
             pad_to=self.batch,
         )
+        if self._compact:
+            ex_r = self._extract_batch(restricted)
+            ex_x = self._extract_batch(
+                relaxed, exclude_exact_of=restricted, want_cutset=True
+            )
         t1 = time.perf_counter()
         self.stats.restricted_s += t1 - t0
         self.expanded_nodes += restricted.total_expanded
         self.expanded_nodes += relaxed.total_expanded
         improved = restricted.global_best > self.best_lb
+        if improved and self._compact:
+            EX.prefetch([restricted.dev[k] for k in ("bp", "bd", "bs", "var_of")])
         need = []
         for nd, dd_r, dd_x in zip(batch, restricted, relaxed):
             if improved:
                 self._maybe_update_best(dd_r)
-            self._apply_cache_updates(dd_r)
-            self._absorb_dominance(dd_r)
+            if not self._compact:
+                self._apply_cache_updates(dd_r)
+                self._absorb_dominance(dd_r)
             if not dd_r.is_exact():
                 need.append((nd, dd_x))
+        if self._compact:
+            self._apply_cache_compact(ex_r)
+            self._absorb_dominance_compact(ex_r)
         improved = relaxed.global_best > self.best_lb
         for nd, dd_x in need:
             if improved:
                 self._maybe_update_best(dd_x)
-            self._apply_cache_updates(dd_x)
-            self._absorb_dominance(dd_x)
-            if not dd_x.is_exact():
-                self._enqueue_cutset(nd, dd_x)
+            if not self._compact:
+                self._apply_cache_updates(dd_x)
+                self._absorb_dominance(dd_x)
+                if not dd_x.is_exact():
+                    self._enqueue_cutset(nd, dd_x)
+        if self._compact:
+            self._apply_cache_compact(ex_x)
+            self._absorb_dominance_compact(ex_x)
+            for _, dd_x in need:
+                dd_x._check_overflow()
+            if not self._enqueue_cutset_compact(ex_x, batch, relaxed):
+                for nd, dd_x in need:
+                    if not dd_x.is_exact():
+                        self._enqueue_cutset(nd, dd_x)
         self.stats.host_s += time.perf_counter() - t1
 
     def _maybe_update_best(self, dd):
