@@ -70,14 +70,24 @@ MISP_WIDTH = {
 }
 
 
+#: rows where the tuned FixedWidths above never proved the optimum: mirror
+#: the reference's own CI config instead (misp/tests.rs —
+#: NbUnassignedWidth(nb_variables) + parallel exploration)
+MISP_NBU = {"keller4.clq", "brock200_4.clq", "hamming8-4.clq"}
+
+
 @pytest.mark.parametrize("fname,opt", _params(REF.MISP))
 def test_misp(fname, opt):
     from ddo_tpu.models.misp import MispRanking, MispRelax, read_instance
 
     pb = read_instance(f"{R}/misp/{fname}")
     bundle = ModelBundle(pb, MispRelax(pb), MispRanking(pb))
+    width = (
+        ddo_tpu.NbUnassignedWidth(pb.nb_variables) if fname in MISP_NBU
+        else FixedWidth(MISP_WIDTH.get(fname, 64))
+    )
     solver = ddo_tpu.SequentialSolver(
-        bundle, width_heu=FixedWidth(MISP_WIDTH.get(fname, 64)), batch=8,
+        bundle, width_heu=width, batch=8,
         cutset_type=ddo_tpu.LAST_EXACT_LAYER,
     )
     completion = solver.maximize()
@@ -216,11 +226,10 @@ def test_talentsched(fname, opt):
 def test_lcs(fname, opt):
     """Long-arc LCS (model.rs:162 is_impacted_by + pooled-style engine).
 
-    Config mirrors lcs/main.rs: NbUnassignedWidth (their default) +
-    frontier cutset + cache + dominance.  The dense engine's buffer width
-    bounds BOTH the active layer and the pool (the reference's pool is
-    unbounded), so 256 is a measured compromise: wider buffers give
-    stronger bounds but ~n*W*D-scaled layer cost over 849 layers."""
+    Config mirrors lcs/tests.rs: FixedWidth(100) + frontier cutset +
+    cache + dominance (their solve() width; main.rs defaults to
+    NbUnassignedWidth but the CI matrix this suite reproduces runs
+    FixedWidth(100))."""
     from ddo_tpu.models.lcs import (
         LcsDominance, LcsRanking, LcsRelax, read_instance,
     )
@@ -228,8 +237,7 @@ def test_lcs(fname, opt):
     pb = read_instance(f"{R}/lcs/{fname}")
     bundle = ModelBundle(pb, LcsRelax(pb), LcsRanking())
     solver = ddo_tpu.SequentialSolver(
-        bundle, width_heu=ddo_tpu.NbUnassignedWidth(pb.nb_variables), batch=8,
-        buffer_width=256,
+        bundle, width_heu=FixedWidth(100), batch=8,
         cache=ddo_tpu.SimpleCache(), cutset_type=ddo_tpu.FRONTIER,
         dominance=SimpleDominanceChecker(LcsDominance(), pb.nb_variables),
     )
@@ -271,8 +279,9 @@ def test_golomb(fname, opt):
     n = int(fname.replace("golomb", ""))
     pb = Golomb(n)
     bundle = ModelBundle(pb, GolombRelax(pb), GolombRanking())
+    # width mirrors golomb/tests.rs: NbUnassignedWidth(nb_variables)
     solver = ddo_tpu.SequentialSolver(
-        bundle, width_heu=FixedWidth(10), batch=8,
+        bundle, width_heu=ddo_tpu.NbUnassignedWidth(pb.nb_variables), batch=8,
         cache=ddo_tpu.SimpleCache(), cutset_type=ddo_tpu.FRONTIER,
     )
     completion = solver.maximize()
@@ -291,8 +300,9 @@ def test_alp(fname, opt):
 
     pb = read_instance(f"{R}/alp/{fname}")
     bundle = ModelBundle(pb, AlpRelax(pb), AlpRanking())
+    # width mirrors alp/tests.rs solve_id: NbUnassignedWidth(nb_variables)
     solver = ddo_tpu.SequentialSolver(
-        bundle, width_heu=FixedWidth(64), batch=8,
+        bundle, width_heu=ddo_tpu.NbUnassignedWidth(pb.nb_variables), batch=8,
         cache=ddo_tpu.SimpleCache(), cutset_type=ddo_tpu.FRONTIER,
         dominance=SimpleDominanceChecker(AlpDominance(), pb.nb_variables),
     )
