@@ -85,9 +85,11 @@ def _scan_unroll(spec: "DDSpec") -> int:
         return 1
     C = spec.width * spec.bundle.problem.domain_size
     if C <= 64:
+        # measured on v5e: knapPI_1_2000 @ FixedWidth(2) warm TTO
+        # 17.4s -> 7.1s; larger C regresses instead (misp K=64 W=128
+        # kernel rate dropped 2.4M -> 1.25M exp/s at unroll=4), so the
+        # unroll stays narrow-DD-only
         return 8
-    if C <= 256:
-        return 4
     return 1
 
 
