@@ -78,7 +78,14 @@ def _scan_unroll(spec: "DDSpec") -> int:
     overrides for A/B runs."""
     env = __import__("os").environ.get("DDO_SCAN_UNROLL")
     if env:
-        return max(1, int(env))
+        # defensive parse: a junk value must not abort a trace; 0 and 1
+        # both mean "no unroll" (ADVICE r4)
+        try:
+            return max(1, int(env))
+        except ValueError:
+            import warnings
+
+            warnings.warn(f"DDO_SCAN_UNROLL={env!r} is not an int; ignored")
     if jax.default_backend() == "cpu":
         # CPU scans have negligible per-iteration overhead; unrolling only
         # multiplies XLA:CPU compile time (measured 2x on the fast suite)
@@ -86,10 +93,15 @@ def _scan_unroll(spec: "DDSpec") -> int:
     C = spec.width * spec.bundle.problem.domain_size
     if C <= 64:
         # measured on v5e: knapPI_1_2000 @ FixedWidth(2) warm TTO
-        # 17.4s -> 7.1s; larger C regresses instead (misp K=64 W=128
-        # kernel rate dropped 2.4M -> 1.25M exp/s at unroll=4), so the
-        # unroll stays narrow-DD-only
+        # 17.4s -> 7.1s
         return 8
+    if C <= 256:
+        # re-measured r5 back-to-back on the chip: misp K=64 W=128
+        # 2.19M -> 2.32M exp/s, tsptw 1.62M -> 1.68M.  (The r4 note
+        # claiming a 2.4M -> 1.25M regression at unroll=4 was a
+        # measurement confound: the same "regression" reproduced with
+        # unroll=1 on a cold cache and vanished on back-to-back reruns.)
+        return 4
     return 1
 
 
@@ -1622,17 +1634,22 @@ def paths_batch_multi(planes: "_BatchPlanes", lanes, layers, slots, roots):
     bs = planes.get("bs")
     var_of = planes.get("var_of")
     n = var_of.shape[1]
+    if M == 0:
+        return (np.zeros((0, n), np.int32), np.zeros((0, n), bool))
     vals = np.stack([roots[k].path_vals for k in lanes]).astype(np.int32)
     pset = np.stack([roots[k].path_set for k in lanes]).astype(bool)
-    if M == 0:
-        return vals, pset
-    d0 = min(roots[k].depth for k in set(lanes.tolist()))
+    # Lanes in one batch can have different root depths: each row must
+    # stop at ITS lane's root layer, else the walk would read the root
+    # layer's neutral planes (bs=False/bp=-1/bd=0) and corrupt the
+    # inherited root path (ADVICE r4 high).
+    droot = np.asarray([roots[k].depth for k in lanes], np.int64)
+    d0 = int(droot.min())
     cur_l = np.asarray(layers, np.int64).copy()
     cur_s = np.asarray(slots, np.int64).copy()
     ln = np.asarray(lanes, np.int64)
     rows = np.arange(M)
     for l in range(n, d0, -1):
-        act = cur_l == l
+        act = (cur_l == l) & (l > droot)
         if not act.any():
             continue
         r = rows[act]
