@@ -60,6 +60,7 @@ from ddo_tpu.search.solver import (
     SequentialSolver,
     SolverStats,
 )
+from ddo_tpu.search.device_loop import DeviceLoopSolver
 from ddo_tpu.parallel.mesh import MeshCompiler, MeshSolver, make_mesh
 from ddo_tpu.api import Solution, maximize
 
