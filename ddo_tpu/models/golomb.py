@@ -71,17 +71,25 @@ class Golomb(Problem):
             (n * n + 1) // 2 - known[jnp.clip(n // 2 - m, 0, known.shape[0] - 1)],
             n * n + 1 - known[jnp.clip(n - m, 0, known.shape[0] - 1)],
         )
-        mark_bits = bs.to_bits(state["marks"], P)  # [P]
-        dist_bits = bs.to_bits(state["dists"], P)
-        jarr = jnp.arange(P, dtype=I32)
+        # The window w[j] = marks[pos - j] (False for j > pos) is the
+        # bit-reversed mark set logically shifted right by 32L-1-pos —
+        # a handful of lane-wise VPU ops.  The original per-candidate
+        # data-dependent gather (dist_bits[pos - jarr]) serialized on
+        # TPU and dominated the whole forward layer (measured: the step
+        # hook alone was 10ms/layer at [8, 32, 26] candidates, linear in
+        # lanes — the entire golomb family was hook-bound).
+        Lb = 32 * state["marks"].shape[-1]
+        mark_win = bs.shift_right_var(
+            bs.reverse_bits(state["marks"]),
+            jnp.clip(Lb - 1 - pos, 0, Lb).astype(I32),
+        )
         # clash: exists mark j with (pos - j) already a known distance
-        diff = jnp.clip(pos - jarr, 0, P - 1)
-        clash = jnp.any(mark_bits & dist_bits[diff] & (jarr <= pos))
+        # (the marks x dists correlation at lag pos)
+        clash = jnp.any((state["dists"] & mark_win) != 0)
         valid = (pos <= ub) & (pos < P) & ~clash
 
         # transition (main.rs:113-126): distances gain {pos - j : j in marks}
-        add = jnp.where(jarr <= pos, mark_bits[diff], False)
-        new_dists = bs.from_bits(dist_bits | add, P)
+        new_dists = state["dists"] | mark_win
         new_marks = bs.insert(state["marks"], jnp.clip(pos, 0, P - 1))
         cost = -(pos - last)
         nstate = {

@@ -104,3 +104,46 @@ def weight_sum(s, weights_i32, n: int):
     """Sum of weights of the members (the MISP rough bound, misp/main.rs:191-193)."""
     bits = to_bits(s, n)
     return jnp.sum(jnp.where(bits, weights_i32, 0), dtype=jnp.int32)
+
+
+def reverse_bits(s):
+    """Bit-reverse a [L]-lane set over its FULL 32*L-bit space:
+    result bit i == input bit (32*L - 1 - i).
+
+    Classic mask-swap word reversal (5 steps) + lane-order flip — pure
+    vectorized lane ops, no gathers.  Combined with `shift_right_var`
+    this turns data-dependent window gathers (w[j] = x[p - j]) into a
+    handful of VPU ops: w = shift_right_var(reverse_bits(x), 32L-1-p)."""
+    v = s.astype(U32)
+    c = lambda x: jnp.asarray(x, U32)
+    v = ((v >> 1) & c(0x55555555)) | ((v & c(0x55555555)) << 1)
+    v = ((v >> 2) & c(0x33333333)) | ((v & c(0x33333333)) << 2)
+    v = ((v >> 4) & c(0x0F0F0F0F)) | ((v & c(0x0F0F0F0F)) << 4)
+    v = ((v >> 8) & c(0x00FF00FF)) | ((v & c(0x00FF00FF)) << 8)
+    v = (v >> 16) | (v << 16)
+    return v[..., ::-1]
+
+
+def shift_right_var(s, t):
+    """Logical right shift of a [L]-lane set by a TRACED bit count
+    t in [0, 32*L]: result bit i == input bit (i + t), zeros shifted in.
+
+    Funnel shift over lanes with the lane offset k = t // 32 resolved by
+    L+1 static selects per lane — fully vectorized (no dynamic slices or
+    gathers, which TPU would serialize per element when vmapped over
+    candidate batches)."""
+    L = s.shape[-1]
+    k = (t // 32).astype(jnp.int32)
+    r = (t % 32).astype(U32)
+    rc = (32 - (t % 32)).astype(U32) % 32
+    zero = jnp.zeros(s.shape[:-1], U32)
+    out = []
+    for l in range(L):
+        acc = zero
+        for kk in range(L + 1):
+            a = s[..., l + kk] if l + kk < L else zero
+            b = s[..., l + kk + 1] if l + kk + 1 < L else zero
+            val = (a >> r) | jnp.where(r == 0, jnp.zeros_like(b), b << rc)
+            acc = jnp.where(k == kk, val, acc)
+        out.append(acc)
+    return jnp.stack(out, axis=-1)

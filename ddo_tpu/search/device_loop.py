@@ -70,6 +70,7 @@ from ddo_tpu.core.types import (
     SubProblem,
     root_subproblem,
 )
+from ddo_tpu.engine import extract as EX
 from ddo_tpu.engine.mdd import (
     BufferOverflow,
     _batch_stats,
@@ -247,6 +248,10 @@ def _device_chunk(spec_r, spec_x, datas, slab, best, max_steps, cache_tab,
     W = spec_r.width
     Cap = slab["val"].shape[0]
     K = slab["kmark"].shape[0]
+    # row caps can never exceed the plane sizes they select from
+    Pcut = min(Pcut, K * n1 * W)
+    Mc = min(Mc, 2 * K * n1 * W)
+    Md = min(Md, 2 * K * n1 * W)
     use_cache = cache_tab is not None
     use_dom = dom_tab is not None
     arange_cap = jnp.arange(Cap, dtype=I32)
@@ -412,12 +417,21 @@ def _device_chunk(spec_r, spec_x, datas, slab, best, max_steps, cache_tab,
 
         # ---- accumulate cache threshold rows from BOTH passes (the host
         # absorb does the same, solver._process_batch_fused); truncation
-        # to Mc / buffer overflow only weakens pruning (sound)
+        # to Mc / buffer overflow only weakens pruning (sound).
+        #
+        # GATED ON COMMIT: a threshold row with explored=false is only
+        # sound when its cutset subproblem actually reached a fringe (the
+        # reference's in-compile filter prunes value <= theta regardless
+        # of the explored flag, clean.rs:710-726 — valid precisely
+        # because the unexplored node is open elsewhere).  A rolled-back
+        # superstep enqueued nothing, so absorbing its thresholds would
+        # let the replay prune the re-generated cutset children — losing
+        # solutions (observed: golomb8 "proved" -36 with optimum -34).
         if use_cache:
             sel_r = (out_r["has_theta"] & out_r["above"]
-                     & lane_ok[:, None, None])
+                     & lane_ok[:, None, None]) & commit
             sel_x = (out_x["has_theta"] & out_x["above"]
-                     & need_x[:, None, None])
+                     & need_x[:, None, None]) & commit
             idx, from_x, valid, ccnt = _compact_union(sel_r, sel_x, Mc)
             unexp_r = out_r["cutflag"] | out_r["wl_unexplored"]
             unexp_x = out_x["cutflag"] | out_x["wl_unexplored"]
@@ -437,10 +451,14 @@ def _device_chunk(spec_r, spec_x, datas, slab, best, max_steps, cache_tab,
             )
             cbuf["dropped"] = cbuf["dropped"] | (ccnt > Mc)
 
-        # ---- accumulate dominance rows (exact_nodes_batch row set)
+        # ---- accumulate dominance rows (exact_nodes_batch row set); the
+        # entries are commit-independent facts, but gating keeps rollback
+        # replays byte-identical to what the host path would have seen
         if use_dom:
-            sel_r = out_r["exact"] & out_r["mask"] & lane_ok[:, None, None]
-            sel_x = out_x["exact"] & out_x["mask"] & need_x[:, None, None]
+            sel_r = (out_r["exact"] & out_r["mask"]
+                     & lane_ok[:, None, None]) & commit
+            sel_x = (out_x["exact"] & out_x["mask"]
+                     & need_x[:, None, None]) & commit
             idx, from_x, valid, dcnt = _compact_union(sel_r, sel_x, Md)
             dbuf = _buf_append(
                 dbuf,
@@ -691,6 +709,12 @@ class DeviceLoopSolver(SequentialSolver):
                 jnp.asarray(self.chunk_steps, I32), cache_tab, dom_tab,
                 wdesc=self._wdesc, start_layer=i0, Pcut=self.cut_cap,
             )
+            # ONE overlapped round-trip for every scalar the absorb reads:
+            # each separate blocking int() costs ~100ms of tunnel latency
+            # (ROUND4_NOTES), which would eat the whole chunk win
+            EX.prefetch(stats)
+            EX.prefetch(best)
+            EX.prefetch([cbuf.get("cnt"), dbuf.get("cnt")])
             jax.block_until_ready(stats["steps"])
             t1 = time.perf_counter()
             self.stats.restricted_s += t1 - t0
@@ -774,25 +798,32 @@ class DeviceLoopSolver(SequentialSolver):
         return INF  # unknown fringe type: stay conservative
 
     def _absorb_bufs(self, cbuf, dbuf):
+        # slice to the row count ON DEVICE before fetching: the full
+        # [Bc, K] buffers are multiple MB, the used prefix usually KB
         cnt = int(cbuf["cnt"]) if "keys" in cbuf else 0
+        dnt = int(dbuf["cnt"]) if "dkeys" in dbuf else 0
+        crows = drows = None
         if cnt:
-            depths = np.asarray(cbuf["depths"])[:cnt]
+            crows = [cbuf["depths"][:cnt], cbuf["keys"][:cnt],
+                     cbuf["thetas"][:cnt], cbuf["expl"][:cnt]]
+            EX.prefetch(crows)
+        if dnt:
+            drows = [dbuf["depths"][:dnt], dbuf["dkeys"][:dnt],
+                     dbuf["dcoords"][:dnt], dbuf["values"][:dnt]]
+            EX.prefetch(drows)
+        if cnt:
+            depths = np.asarray(crows[0])
             ok = depths >= 0
             self.cache.update_batch(
-                depths[ok],
-                np.asarray(cbuf["keys"])[:cnt][ok],
-                np.asarray(cbuf["thetas"])[:cnt][ok],
-                np.asarray(cbuf["expl"])[:cnt][ok],
+                depths[ok], np.asarray(crows[1])[ok],
+                np.asarray(crows[2])[ok], np.asarray(crows[3])[ok],
             )
-        dnt = int(dbuf["cnt"]) if "dkeys" in dbuf else 0
         if dnt:
-            depths = np.asarray(dbuf["depths"])[:dnt]
+            depths = np.asarray(drows[0])
             ok = depths >= 0
             self.dominance.insert_batch(
-                depths[ok],
-                np.asarray(dbuf["dkeys"])[:dnt][ok],
-                np.asarray(dbuf["dcoords"])[:dnt][ok],
-                np.asarray(dbuf["values"])[:dnt][ok],
+                depths[ok], np.asarray(drows[1])[ok],
+                np.asarray(drows[2])[ok], np.asarray(drows[3])[ok],
             )
 
     def _abort_device(self, slab, n_active):
