@@ -53,12 +53,17 @@ elif row == "golomb7nc":
     )
     expect = -25
 elif row == "lcs":
-    from ddo_tpu.models.lcs import LcsRanking, LcsRelax, read_instance
+    from ddo_tpu.models.lcs import LcsDominance, LcsRanking, LcsRelax, read_instance
+    from ddo_tpu import TimeBudget
     pb = read_instance(f"{R}/lcs/neg_12_3_1.txt")
     bundle = ModelBundle(pb, LcsRelax(pb), LcsRanking())
+    budget = float(os.environ.get("LCS_BUDGET", "400"))
     mk = lambda: DeviceLoopSolver(
         bundle, width_heu=FixedWidth(100), batch=K, cache=SimpleCache(),
         cutset_type=ddo_tpu.FRONTIER, chunk_steps=chunk,
+        dominance=SimpleDominanceChecker(LcsDominance(), pb.nb_variables),
+        cutoff=TimeBudget(budget),
+        slab_cap=8192, cut_cap=4096,
     )
     expect = None
 elif row == "alp":
@@ -85,7 +90,8 @@ for i in range(reps):
         f"{row} K={K} chunk={chunk} rep{i}: {dt:.2f}s value={s.best_value()} "
         f"exact={c.is_exact} supersteps={st.supersteps} "
         f"explored={s.explored_count} expanded={s.expanded_nodes} "
-        f"device={st.restricted_s + st.relaxed_s:.2f}s host={st.host_s:.2f}s",
+        f"device={st.restricted_s + st.relaxed_s:.2f}s host={st.host_s:.2f}s "
+        f"events={getattr(s, 'loop_events', {})}",
         flush=True,
     )
     if expect is not None:

@@ -73,6 +73,7 @@ from ddo_tpu.core.types import (
 from ddo_tpu.engine import extract as EX
 from ddo_tpu.engine.mdd import (
     BufferOverflow,
+    CutoffInterrupt,
     _batch_stats,
     _depth_bucket,
     _tree_stack_template,
@@ -559,6 +560,9 @@ class DeviceLoopSolver(SequentialSolver):
         self._wdesc = width_static(self.width_heu)
         self._n = self.problem.nb_variables
         self._snap_dev = {}  # host snapshot dict -> device copy (by identity)
+        #: diagnostics: chunk dispatches / cutset-overflow replays /
+        #: slab-full drains / fringe reseeds (read by perf tooling)
+        self.loop_events = dict(chunks=0, cutov=0, full=0, seeds=0)
 
     def _filter_tables(self):
         """Device-cached snapshot tables: the host snapshots are uploaded
@@ -696,6 +700,7 @@ class DeviceLoopSolver(SequentialSolver):
                     break
                 slab = self._seed_slab(slab, batch)
                 n_active = len(batch)
+                self.loop_events["seeds"] += 1
             if int(best["lb"]) < self.best_lb:
                 best = dict(best, lb=jnp.asarray(self.best_lb, VALUE_DTYPE))
 
@@ -704,6 +709,7 @@ class DeviceLoopSolver(SequentialSolver):
             if isinstance(self.cache, EmptyCache):
                 cache_tab = None
             i0 = _depth_bucket(self._n, self._slab_min_depth(slab))
+            self.loop_events["chunks"] += 1
             slab, best, cbuf, dbuf, stats = _device_chunk(
                 spec_r, spec_x, self.bundle.datas, slab, best,
                 jnp.asarray(self.chunk_steps, I32), cache_tab, dom_tab,
@@ -747,15 +753,23 @@ class DeviceLoopSolver(SequentialSolver):
             if bool(stats["cutov"]):
                 # replay the uncommitted superstep through the host path
                 # (no cutset row cap there)
+                self.loop_events["cutov"] += 1
                 slab = self._drain_slab(slab)
                 n_active = 0
                 batch = self._get_workload()
                 if batch:
                     t2 = time.perf_counter()
-                    self._process_batch(batch)
+                    try:
+                        self._process_batch(batch)
+                    except CutoffInterrupt:
+                        self._abort(Reason.CUTOFF_OCCURRED, batch)
+                        aborted = True
+                        self.stats.host_s += time.perf_counter() - t2
+                        break
                     self.stats.supersteps += 1
                     self.stats.host_s += time.perf_counter() - t2
             elif bool(stats["full"]):
+                self.loop_events["full"] += 1
                 slab = self._drain_slab(slab, keep_best=self.slab_cap // 2)
                 n_active = min(n_active, self.slab_cap // 2)
 
