@@ -66,17 +66,24 @@ elif row == "lcs":
         slab_cap=8192, cut_cap=4096,
     )
     expect = None
-elif row == "alp":
+elif row.startswith("alp"):
     from ddo_tpu.models.alp import AlpDominance, AlpRanking, AlpRelax, read_instance
-    pb = read_instance(f"{R}/alp/alp_n25_r1_c2_std10_s0")
+    inst = "alp_n25_r1_c2_std10_s0" if row == "alp" else row
+    pb = read_instance(f"{R}/alp/{inst}")
     bundle = ModelBundle(pb, AlpRelax(pb), AlpRanking())
+    from ddo_tpu import TimeBudget
+    _b = os.environ.get("BUDGET")
     mk = lambda: DeviceLoopSolver(
-        bundle, width_heu=FixedWidth(64), batch=K, cache=SimpleCache(),
+        bundle,
+        width_heu=(FixedWidth(64) if os.environ.get("ALP_W") == "64"
+                   else NbUnassignedWidth(pb.nb_variables)),
+        batch=K, cache=SimpleCache(),
         cutset_type=ddo_tpu.FRONTIER,
         dominance=SimpleDominanceChecker(AlpDominance(), pb.nb_variables),
-        chunk_steps=chunk,
+        chunk_steps=chunk, cutoff=TimeBudget(float(_b)) if _b else None,
+        slab_cap=16384, cut_cap=8192,
     )
-    expect = -755
+    expect = -755 if row == 'alp' else None
 else:
     raise SystemExit(f"unknown row {row}")
 
@@ -90,6 +97,7 @@ for i in range(reps):
         f"{row} K={K} chunk={chunk} rep{i}: {dt:.2f}s value={s.best_value()} "
         f"exact={c.is_exact} supersteps={st.supersteps} "
         f"explored={s.explored_count} expanded={s.expanded_nodes} "
+        f"lb={s.best_lower_bound()} ub={s.best_upper_bound()} "
         f"device={st.restricted_s + st.relaxed_s:.2f}s host={st.host_s:.2f}s "
         f"events={getattr(s, 'loop_events', {})}",
         flush=True,

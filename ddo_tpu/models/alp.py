@@ -57,6 +57,20 @@ class Alp(Problem):
         for c in range(self.nb_classes):
             nxt[c, : len(fill[c])] = fill[c]
         self.min_sep_to = self.sep.min(axis=0)
+
+        # --- RUB precomputes (see AlpRelax.rub) -------------------------
+        # rub_tsort[c, m, k] = k-th smallest target among the m remaining
+        # class-c planes (the remaining set is a fixed function of m:
+        # planes next[c][1..m]); rub_off[c, k] = floor(k/R) * sep[c][c],
+        # the wave offset of the (k+1)-th class-c landing.
+        tsort = np.zeros((self.nb_classes, n + 1, n), np.int64)
+        for c in range(self.nb_classes):
+            seq = fill[c][1:]  # next[c][k] for k = 1..count_c
+            for m in range(1, len(seq) + 1):
+                ts = np.sort(self.target[seq[:m]])
+                tsort[c, m, : m] = ts
+        karr = np.arange(n, dtype=np.int64)
+        off = (karr[None, :] // max(1, self.nb_runways)) * np.diag(self.sep)[:, None]
         self._data = dict(
             target=jnp.asarray(self.target, I32),
             latest=jnp.asarray(self.latest, I32),
@@ -64,6 +78,8 @@ class Alp(Problem):
             sep=jnp.asarray(self.sep, I32),
             next=jnp.asarray(nxt, I32),
             min_sep_to=jnp.asarray(self.min_sep_to, I32),
+            rub_tsort=jnp.asarray(tsort, I32),
+            rub_off=jnp.asarray(off, I32),
         )
 
     @property
@@ -165,6 +181,46 @@ class AlpRelax(Relaxation):
             "rw_time": t.astype(I32),
             "rw_class": jnp.full(R, DUMMY, I32),
         }
+
+    def rub(self, data, state, depth):
+        """Admissible delay lower bound (the reference ships rub = 0,
+        alp/model.rs:250-252, and closes ALP by raw node throughput —
+        VERDICT r4 #5 asked for a real bound).
+
+        Per class c with m remaining planes: in ANY completion, the k-th
+        smallest class-c landing time is >= b_c + floor((k-1)/R)*sep[c,c]
+        (pigeonhole over the R runways: among the first k class-c
+        landings some runway hosts ceil(k/R), spaced >= sep[c,c] apart
+        and starting >= b_c = min_r availability of runway r for class c;
+        other classes' landings only push availabilities later) and also
+        >= the k-th smallest remaining target (each landing >= its own
+        target).  Total class delay = sum(landings) - sum(targets)
+        >= sum_k max(0, b_c + off_k - tsort_k).  Classes are independent
+        relaxations of the same schedule, so their bounds add."""
+        C = self.problem.nb_classes
+        n = self.problem.nb_variables
+        rem = state["rem"]
+        # b_c = min_r (rw_time[r] + sep(rw_class[r], c)); fresh runways
+        # (time 0, DUMMY class) contribute 0 (the target max covers them)
+        rw_time, rw_class = state["rw_time"], state["rw_class"]
+        R = rw_time.shape[0]
+        sep_in = jnp.where(
+            rw_class[None, :] == DUMMY,
+            jnp.broadcast_to(data["min_sep_to"][:, None], (C, R)),
+            data["sep"][jnp.clip(rw_class, 0, C - 1)].T,  # [C, R]
+        )
+        fresh = (rw_time == 0) & (rw_class == DUMMY)
+        avail = jnp.where(fresh[None, :], 0, rw_time[None, :] + sep_in)
+        b = jnp.min(avail, axis=1)  # [C]
+        tsort = data["rub_tsort"][jnp.arange(C), jnp.clip(rem, 0, n)]  # [C, n]
+        karr = jnp.arange(n, dtype=I32)[None, :]
+        inplay = karr < rem[:, None]
+        delay = jnp.where(
+            inplay,
+            jnp.maximum(0, b[:, None] + data["rub_off"] - tsort),
+            0,
+        )
+        return (-jnp.sum(delay)).astype(VALUE_DTYPE)
 
 
 class AlpRanking(StateRanking):
