@@ -16,10 +16,26 @@ The fast per-model suites (tests/test_*.py) keep a small subset of these
 plus brute-force oracles; this file is the breadth tier.
 """
 
+import os
+
 import pytest
 
 import ddo_tpu
 from ddo_tpu import FixedWidth, ModelBundle, SimpleDominanceChecker
+
+
+def make_solver(bundle, **kw):
+    """Parity solver factory.  DDO_PARITY_DEVICE=1 swaps the host-driven
+    SequentialSolver for the device-resident DeviceLoopSolver (same
+    search semantics; see search/device_loop.py) — the r5 engine that
+    removes the per-superstep host round-trip.  Default stays the host
+    solver so the two runtimes remain directly comparable (VERDICT r4
+    #4: run the tiers both ways, commit the comparison)."""
+    if os.environ.get("DDO_PARITY_DEVICE") == "1":
+        return ddo_tpu.DeviceLoopSolver(
+            bundle, slab_cap=8192, cut_cap=4096, chunk_steps=16, **kw
+        )
+    return ddo_tpu.SequentialSolver(bundle, **kw)
 
 import ref_optima as REF  # tests/slow is on sys.path (pytest prepend mode)
 
@@ -46,7 +62,7 @@ def test_knapsack(fname, opt):
 
     pb = read_instance(f"{R}/knapsack/{fname}")
     bundle = ModelBundle(pb, KPRelax(pb), KPRanking())
-    solver = ddo_tpu.SequentialSolver(
+    solver = make_solver(
         bundle, width_heu=FixedWidth(2), batch=8,
         cache=ddo_tpu.SimpleCache(), cutset_type=ddo_tpu.FRONTIER,
         dominance=SimpleDominanceChecker(KPDominance(), pb.nb_variables),
@@ -86,7 +102,7 @@ def test_misp(fname, opt):
         ddo_tpu.NbUnassignedWidth(pb.nb_variables) if fname in MISP_NBU
         else FixedWidth(MISP_WIDTH.get(fname, 64))
     )
-    solver = ddo_tpu.SequentialSolver(
+    solver = make_solver(
         bundle, width_heu=width, batch=8,
         cutset_type=ddo_tpu.LAST_EXACT_LAYER,
     )
@@ -104,7 +120,7 @@ def test_max2sat(fname, opt):
 
     pb = read_instance(f"{R}/max2sat/{fname}")
     bundle = ModelBundle(pb, Max2SatRelax(pb), Max2SatRanking())
-    solver = ddo_tpu.SequentialSolver(
+    solver = make_solver(
         bundle, width_heu=FixedWidth(8), batch=8, cache=ddo_tpu.SimpleCache(),
     )
     completion = solver.maximize()
@@ -121,7 +137,7 @@ def test_mcp(fname, opt):
 
     pb = read_instance(f"{R}/mcp/{fname}")
     bundle = ModelBundle(pb, McpRelax(pb), McpRanking())
-    solver = ddo_tpu.SequentialSolver(
+    solver = make_solver(
         bundle, width_heu=FixedWidth(16), batch=8,
         cache=ddo_tpu.SimpleCache(), cutset_type=ddo_tpu.FRONTIER,
     )
@@ -142,7 +158,7 @@ def _solve_tsptw(path, opt, decimals):
 
     pb = read_instance(path)
     bundle = ModelBundle(pb, TsptwRelax(pb), TsptwRanking())
-    solver = ddo_tpu.SequentialSolver(
+    solver = make_solver(
         bundle, width_heu=TsptwWidth(pb.nb_variables, 1), batch=8,
         cache=ddo_tpu.SimpleCache(), cutset_type=ddo_tpu.FRONTIER,
         dominance=SimpleDominanceChecker(TsptwDominance(), pb.nb_variables),
@@ -168,7 +184,7 @@ def test_sop(fname, opt):
 
     pb = read_instance(f"{R}/sop/{fname}")
     bundle = ModelBundle(pb, SopRelax(pb), SopRanking())
-    solver = ddo_tpu.SequentialSolver(
+    solver = make_solver(
         bundle, width_heu=SopWidth(pb.nb_variables, 1), batch=8,
         cache=ddo_tpu.SimpleCache(), cutset_type=ddo_tpu.FRONTIER,
         buffer_width=max(64, pb.nb_jobs),
@@ -189,7 +205,7 @@ def test_srflp(fname, opt):
 
     pb = read_instance(f"{R}/srflp/{fname}")
     bundle = ModelBundle(pb, SrflpRelax(pb), SrflpRanking())
-    solver = ddo_tpu.SequentialSolver(
+    solver = make_solver(
         bundle, width_heu=SrflpWidth(pb.nb_variables, 1), batch=8,
         cache=ddo_tpu.SimpleCache(), cutset_type=ddo_tpu.FRONTIER,
         buffer_width=max(64, pb.nb_variables),
@@ -210,7 +226,7 @@ def test_talentsched(fname, opt):
 
     pb = read_instance(f"{R}/talentsched/{fname}")
     bundle = ModelBundle(pb, TalentSchedRelax(pb), TalentSchedRanking())
-    solver = ddo_tpu.SequentialSolver(
+    solver = make_solver(
         bundle, width_heu=FixedWidth(100), batch=8,
         cache=ddo_tpu.SimpleCache(), cutset_type=ddo_tpu.FRONTIER,
     )
@@ -236,7 +252,7 @@ def test_lcs(fname, opt):
 
     pb = read_instance(f"{R}/lcs/{fname}")
     bundle = ModelBundle(pb, LcsRelax(pb), LcsRanking())
-    solver = ddo_tpu.SequentialSolver(
+    solver = make_solver(
         bundle, width_heu=FixedWidth(100), batch=8,
         cache=ddo_tpu.SimpleCache(), cutset_type=ddo_tpu.FRONTIER,
         dominance=SimpleDominanceChecker(LcsDominance(), pb.nb_variables),
@@ -261,7 +277,7 @@ def test_psp(fname, opt):
     # width near the reference's FixedWidth(1000) (psp/tests.rs:48): thin
     # widths leave the horizon-50+ instances with weak bounds and a
     # blown-up B&B (5items/101 at width 16: >1100 supersteps, no proof)
-    solver = ddo_tpu.SequentialSolver(
+    solver = make_solver(
         bundle, width_heu=FixedWidth(250), batch=8, cache=ddo_tpu.SimpleCache(),
     )
     completion = solver.maximize()
@@ -280,7 +296,7 @@ def test_golomb(fname, opt):
     pb = Golomb(n)
     bundle = ModelBundle(pb, GolombRelax(pb), GolombRanking())
     # width mirrors golomb/tests.rs: NbUnassignedWidth(nb_variables)
-    solver = ddo_tpu.SequentialSolver(
+    solver = make_solver(
         bundle, width_heu=ddo_tpu.NbUnassignedWidth(pb.nb_variables), batch=8,
         cache=ddo_tpu.SimpleCache(), cutset_type=ddo_tpu.FRONTIER,
     )
@@ -301,7 +317,7 @@ def test_alp(fname, opt):
     pb = read_instance(f"{R}/alp/{fname}")
     bundle = ModelBundle(pb, AlpRelax(pb), AlpRanking())
     # width mirrors alp/tests.rs solve_id: NbUnassignedWidth(nb_variables)
-    solver = ddo_tpu.SequentialSolver(
+    solver = make_solver(
         bundle, width_heu=ddo_tpu.NbUnassignedWidth(pb.nb_variables), batch=8,
         cache=ddo_tpu.SimpleCache(), cutset_type=ddo_tpu.FRONTIER,
         dominance=SimpleDominanceChecker(AlpDominance(), pb.nb_variables),
