@@ -27,6 +27,7 @@ are measured absolute numbers tracked round-over-round as the primary
 perf record.
 """
 
+from ddo_tpu.utils.resources import resources_root as _res_root
 import json
 import os
 import subprocess
@@ -164,7 +165,7 @@ def main():
     import ddo_tpu
     from ddo_tpu import FixedWidth, ModelBundle, SimpleCache, SimpleDominanceChecker
 
-    R = "/root/reference/resources"
+    R = _res_root()
     ref_rates, baseline_kind = measure_ref_baseline()
     extra = {
         "baseline_kind": baseline_kind + " (single-core ceiling of the "

@@ -20,6 +20,8 @@ import os
 
 import pytest
 
+from ddo_tpu.utils.resources import resources_root as _res_root
+
 import ddo_tpu
 from ddo_tpu import FixedWidth, ModelBundle, SimpleDominanceChecker
 
@@ -41,7 +43,7 @@ import ref_optima as REF  # tests/slow is on sys.path (pytest prepend mode)
 
 pytestmark = pytest.mark.slow
 
-R = "/root/reference/resources"
+R = _res_root()
 
 
 def _params(rows):

@@ -1,10 +1,11 @@
 """Tests for the one-call `ddo_tpu.maximize` API (py_ddo parity,
 py_ddo/src/lib.rs:46-98 + py_ddo/examples/knapsack)."""
 
+from ddo_tpu.utils.resources import resources_root as _res_root
 import ddo_tpu
 from ddo_tpu.models.knapsack import KPRanking, KPRelax, read_instance
 
-INSTANCE = "/root/reference/resources/knapsack/f1_l-d_kp_10_269"
+INSTANCE = _res_root() + "/knapsack/f1_l-d_kp_10_269"
 
 
 def test_maximize_defaults():

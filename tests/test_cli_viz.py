@@ -1,6 +1,7 @@
 """CLI and graphviz-export smoke tests (aux parity: clean.rs:884-1090,
 examples/visualisation/main.rs, examples/*/main.rs CLIs)."""
 
+from ddo_tpu.utils.resources import resources_root as _res_root
 import io
 import contextlib
 
@@ -14,7 +15,7 @@ from ddo_tpu.models.knapsack import KPRanking, KPRelax, read_instance
 
 def test_cli_knapsack(capsys):
     cli_main([
-        "knapsack", "/root/reference/resources/knapsack/f3_l-d_kp_4_20",
+        "knapsack", _res_root() + "/knapsack/f3_l-d_kp_4_20",
         "--cpu", "-w", "4",
     ])
     out = capsys.readouterr().out
@@ -23,7 +24,7 @@ def test_cli_knapsack(capsys):
 
 
 def test_graphviz_export():
-    pb = read_instance("/root/reference/resources/knapsack/f3_l-d_kp_4_20")
+    pb = read_instance(_res_root() + "/knapsack/f3_l-d_kp_4_20")
     bundle = ModelBundle(pb, KPRelax(pb), KPRanking())
     solver = ddo_tpu.SequentialSolver(bundle, width_heu=FixedWidth(3))
     dd = solver.compiler.compile(

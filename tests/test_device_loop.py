@@ -7,6 +7,7 @@ Small slab/chunk parameters force the overflow machinery (slab-full
 drain, cutset-overflow host replay, fringe reseed) through their paths.
 """
 
+from ddo_tpu.utils.resources import resources_root as _res_root
 import numpy as np
 import pytest
 
@@ -22,7 +23,7 @@ from ddo_tpu import (
     TimeBudget,
 )
 
-R = "/root/reference/resources"
+R = _res_root()
 
 
 def _kp_bundle(name="f1_l-d_kp_10_269"):

@@ -6,6 +6,7 @@ it must reproduce the plane route's search trajectory EXACTLY (same
 explored/expanded counts, same optimum).  Runs on the CPU backend where
 compact is off by default — forced on via the solver flag."""
 
+from ddo_tpu.utils.resources import resources_root as _res_root
 import numpy as np
 import pytest
 
@@ -15,7 +16,7 @@ from ddo_tpu import (
     SimpleDominanceChecker,
 )
 
-R = "/root/reference/resources"
+R = _res_root()
 
 
 def _solve(make_solver, compact):

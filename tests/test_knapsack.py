@@ -5,6 +5,7 @@ Oracle values come from the reference integration tests
 DP cross-check on tiny/random instances.
 """
 
+from ddo_tpu.utils.resources import resources_root as _res_root
 import numpy as np
 import pytest
 
@@ -18,7 +19,7 @@ from ddo_tpu.models.knapsack import (
     read_instance,
 )
 
-RESOURCES = "/root/reference/resources/knapsack"
+RESOURCES = _res_root() + "/knapsack"
 
 # (instance, optimum) — tests.rs:66-200
 SMALL = [

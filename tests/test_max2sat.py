@@ -1,6 +1,7 @@
 """MAX2SAT tests: bundled instances with optima from
 /root/reference/ddo/examples/max2sat/tests.rs + brute force cross-checks."""
 
+from ddo_tpu.utils.resources import resources_root as _res_root
 import itertools
 
 import numpy as np
@@ -10,7 +11,7 @@ import ddo_tpu
 from ddo_tpu import FixedWidth, ModelBundle
 from ddo_tpu.models.max2sat import Max2Sat, Max2SatRanking, Max2SatRelax, read_instance
 
-RESOURCES = "/root/reference/resources/max2sat"
+RESOURCES = _res_root() + "/max2sat"
 
 # (instance, optimum) — tests.rs
 SMALL = [

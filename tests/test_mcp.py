@@ -1,6 +1,7 @@
 """MCP (max cut) tests: brute force on random graphs + one bundled
 instance (optimum from /root/reference/ddo/examples/mcp/tests.rs)."""
 
+from ddo_tpu.utils.resources import resources_root as _res_root
 import numpy as np
 import pytest
 
@@ -8,7 +9,7 @@ import ddo_tpu
 from ddo_tpu import FixedWidth, ModelBundle
 from ddo_tpu.models.mcp import Mcp, McpRanking, McpRelax, read_instance
 
-RESOURCES = "/root/reference/resources/mcp"
+RESOURCES = _res_root() + "/mcp"
 
 
 def bundle_for(pb):

@@ -5,6 +5,7 @@ The TPU-native counterpart of the reference ParallelSolver tests
 solve must still prove the same optima as the sequential path.
 """
 
+from ddo_tpu.utils.resources import resources_root as _res_root
 import jax
 import numpy as np
 import pytest
@@ -20,7 +21,7 @@ def test_mesh_has_8_devices():
 
 
 def test_mesh_solver_proves_knapsack_optimum():
-    pb = read_instance("/root/reference/resources/knapsack/f2_l-d_kp_20_878")
+    pb = read_instance(_res_root() + "/knapsack/f2_l-d_kp_20_878")
     bundle = ModelBundle(pb, KPRelax(pb), KPRanking())
     mesh = make_mesh()
     solver = MeshSolver(
@@ -72,7 +73,7 @@ def test_mesh_chunked_compile_interrupts_on_cutoff():
             self.calls += 1
             return self.calls > 1
 
-    pb = read_instance("/root/reference/resources/knapsack/f2_l-d_kp_20_878")
+    pb = read_instance(_res_root() + "/knapsack/f2_l-d_kp_20_878")
     bundle = ModelBundle(pb, KPRelax(pb), KPRanking())
     compiler = MeshCompiler(bundle, 8, ddo_tpu.FRONTIER, make_mesh())
     root = root_subproblem(pb)
@@ -87,7 +88,7 @@ def test_mesh_solver_honors_time_budget():
     """End-to-end mesh solve with TimeBudget(0): clean abort, gap 1."""
     from ddo_tpu.core.heuristics import TimeBudget
 
-    pb = read_instance("/root/reference/resources/knapsack/f2_l-d_kp_20_878")
+    pb = read_instance(_res_root() + "/knapsack/f2_l-d_kp_20_878")
     bundle = ModelBundle(pb, KPRelax(pb), KPRanking())
     solver = MeshSolver(
         bundle, mesh=make_mesh(), width_heu=FixedWidth(2),
@@ -104,7 +105,7 @@ def test_mesh_batch_stats_reductions():
     from ddo_tpu.parallel.mesh import MeshCompiler
     from ddo_tpu.utils.num import NEG_INF
 
-    pb = read_instance("/root/reference/resources/knapsack/f2_l-d_kp_20_878")
+    pb = read_instance(_res_root() + "/knapsack/f2_l-d_kp_20_878")
     bundle = ModelBundle(pb, KPRelax(pb), KPRanking())
     compiler = MeshCompiler(bundle, 32, ddo_tpu.FRONTIER, make_mesh())
     root = root_subproblem(pb)

@@ -1,6 +1,7 @@
 """MISP end-to-end tests: brute force on random graphs + bundled DIMACS
 instances with optima from /root/reference/ddo/examples/misp/tests.rs."""
 
+from ddo_tpu.utils.resources import resources_root as _res_root
 import itertools
 
 import numpy as np
@@ -10,7 +11,7 @@ import ddo_tpu
 from ddo_tpu import FixedWidth, ModelBundle, NbUnassignedWidth
 from ddo_tpu.models.misp import Misp, MispRanking, MispRelax, read_instance
 
-RESOURCES = "/root/reference/resources/misp"
+RESOURCES = _res_root() + "/misp"
 
 
 def bundle_for(pb):

@@ -1,5 +1,6 @@
 """Native (C++) search runtime: parity with the Python solver."""
 
+from ddo_tpu.utils.resources import resources_root as _res_root
 import numpy as np
 import pytest
 
@@ -11,7 +12,7 @@ from ddo_tpu.search.solver import NativeSolver
 def test_native_knapsack():
     from ddo_tpu.models.knapsack import KPRanking, KPRelax, read_instance
 
-    pb = read_instance("/root/reference/resources/knapsack/f2_l-d_kp_20_878")
+    pb = read_instance(_res_root() + "/knapsack/f2_l-d_kp_20_878")
     bundle = ModelBundle(pb, KPRelax(pb), KPRanking())
     solver = NativeSolver(bundle, width_heu=FixedWidth(3), batch=4)
     completion = solver.maximize()
@@ -25,7 +26,7 @@ def test_native_knapsack():
 def test_native_misp():
     from ddo_tpu.models.misp import MispRanking, MispRelax, read_instance
 
-    pb = read_instance("/root/reference/resources/misp/johnson8-2-4.clq")
+    pb = read_instance(_res_root() + "/misp/johnson8-2-4.clq")
     bundle = ModelBundle(pb, MispRelax(pb), MispRanking(pb))
     solver = NativeSolver(
         bundle, width_heu=FixedWidth(16), batch=4,
@@ -39,7 +40,7 @@ def test_native_misp():
 def test_native_tsptw():
     from ddo_tpu.models.tsptw import TsptwRanking, TsptwRelax, TsptwWidth, read_instance
 
-    pb = read_instance("/root/reference/resources/tsptw/Langevin/N20ft301.dat")
+    pb = read_instance(_res_root() + "/tsptw/Langevin/N20ft301.dat")
     bundle = ModelBundle(pb, TsptwRelax(pb), TsptwRanking())
     solver = NativeSolver(
         bundle, width_heu=TsptwWidth(pb.nb_variables, 1), batch=4,
@@ -53,7 +54,7 @@ def test_native_tsptw():
 def test_native_psp():
     from ddo_tpu.models.psp import PspRanking, PspRelax, read_instance
 
-    pb, optimum = read_instance("/root/reference/resources/psp/instancesWith2items/2")
+    pb, optimum = read_instance(_res_root() + "/psp/instancesWith2items/2")
     assert optimum is not None
     bundle = ModelBundle(pb, PspRelax(pb), PspRanking())
     solver = NativeSolver(bundle, width_heu=FixedWidth(16), batch=4)
@@ -63,7 +64,7 @@ def test_native_psp():
 
     # 5-item instance (no recorded optimum): native must agree with the
     # Python solver
-    pb5, _ = read_instance("/root/reference/resources/psp/instancesWith5items/1")
+    pb5, _ = read_instance(_res_root() + "/psp/instancesWith5items/1")
     b5 = ModelBundle(pb5, PspRelax(pb5), PspRanking())
     s_native = NativeSolver(b5, width_heu=FixedWidth(8), batch=4)
     c_native = s_native.maximize()
@@ -78,7 +79,7 @@ def test_native_set_primal_and_stats():
     """VERDICT r1 missing #8: NativeSolver set_primal warm-start + stats."""
     from ddo_tpu.models.knapsack import KPRanking, KPRelax, read_instance
 
-    pb = read_instance("/root/reference/resources/knapsack/f2_l-d_kp_20_878")
+    pb = read_instance(_res_root() + "/knapsack/f2_l-d_kp_20_878")
     bundle = ModelBundle(pb, KPRelax(pb), KPRanking())
     solver = NativeSolver(bundle, width_heu=FixedWidth(3), batch=4)
     solver.set_primal(1024, (np.zeros(pb.nb_variables, np.int32),
@@ -97,7 +98,7 @@ def test_native_cutoff_abort_recovers_bound():
     from ddo_tpu.core.heuristics import TimeBudget
     from ddo_tpu.models.knapsack import KPRanking, KPRelax, read_instance
 
-    pb = read_instance("/root/reference/resources/knapsack/f2_l-d_kp_20_878")
+    pb = read_instance(_res_root() + "/knapsack/f2_l-d_kp_20_878")
     bundle = ModelBundle(pb, KPRelax(pb), KPRanking())
     solver = NativeSolver(bundle, width_heu=FixedWidth(3), batch=4,
                           cutoff=TimeBudget(0.0))
@@ -115,7 +116,7 @@ def test_native_dominance_matches_sequential():
     )
     from ddo_tpu.search.dominance import SimpleDominanceChecker
 
-    pb = read_instance("/root/reference/resources/knapsack/f1_l-d_kp_10_269")
+    pb = read_instance(_res_root() + "/knapsack/f1_l-d_kp_10_269")
     bundle = ModelBundle(pb, KPRelax(pb), KPRanking())
     ns = NativeSolver(
         bundle, width_heu=FixedWidth(2), batch=4,

@@ -1,6 +1,7 @@
 """PSP tests: bundled 2-item instances (trailing line = known optimum,
 tests.rs asserts e.g. instancesWith2items/1 -> 13) + brute force."""
 
+from ddo_tpu.utils.resources import resources_root as _res_root
 from functools import lru_cache
 
 import numpy as np
@@ -10,7 +11,7 @@ import ddo_tpu
 from ddo_tpu import FixedWidth, ModelBundle
 from ddo_tpu.models.psp import Psp, PspRanking, PspRelax, read_instance
 
-RESOURCES = "/root/reference/resources/psp"
+RESOURCES = _res_root() + "/psp"
 
 
 def bundle_for(pb):

@@ -1,6 +1,7 @@
 """SOP tests: brute force on random precedence instances + bundled ESC07
 (optimum 2125, /root/reference/ddo/examples/sop/tests.rs)."""
 
+from ddo_tpu.utils.resources import resources_root as _res_root
 import itertools
 
 import numpy as np
@@ -76,7 +77,7 @@ def test_random_vs_bruteforce(seed):
 
 
 def test_esc07():
-    pb = read_instance("/root/reference/resources/sop/ESC07.sop")
+    pb = read_instance(_res_root() + "/sop/ESC07.sop")
     solver, completion = solve(pb, SopWidth(pb.nb_variables, 1), batch=4)
     assert completion.is_exact
     assert solver.best_value() == -2125

@@ -1,6 +1,7 @@
 """SRFLP tests: brute force on random instances + bundled Cl5 (optimum
 1100.0, /root/reference/ddo/examples/srflp/tests.rs)."""
 
+from ddo_tpu.utils.resources import resources_root as _res_root
 import itertools
 
 import numpy as np
@@ -68,7 +69,7 @@ def test_random_vs_bruteforce(seed):
 
 
 def test_cl5():
-    pb = read_instance("/root/reference/resources/srflp/Cl5")
+    pb = read_instance(_res_root() + "/srflp/Cl5")
     solver, completion = solve(pb, SrflpWidth(pb.nb_variables, 1), batch=2)
     assert completion.is_exact
     assert -solver.best_value() + pb.root_value == 1100.0

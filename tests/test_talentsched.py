@@ -1,6 +1,7 @@
 """Talent scheduling tests (optima from
 /root/reference/ddo/examples/talentsched/tests.rs; objective = -best_value)."""
 
+from ddo_tpu.utils.resources import resources_root as _res_root
 import pytest
 
 import ddo_tpu
@@ -12,7 +13,7 @@ from ddo_tpu.models.talentsched import (
     read_instance,
 )
 
-RESOURCES = "/root/reference/resources/talentsched"
+RESOURCES = _res_root() + "/talentsched"
 
 CASES = [("tiny", 29), ("tiny2", 9), ("small", 54), ("small2", 56)]
 

@@ -2,6 +2,7 @@
 bundled Langevin N20ft301 (optimum 661.60,
 /root/reference/ddo/examples/tsptw/tests.rs)."""
 
+from ddo_tpu.utils.resources import resources_root as _res_root
 import itertools
 
 import numpy as np
@@ -86,7 +87,7 @@ def test_random_vs_bruteforce(seed):
 
 
 def test_langevin_n20():
-    pb = read_instance("/root/reference/resources/tsptw/Langevin/N20ft301.dat")
+    pb = read_instance(_res_root() + "/tsptw/Langevin/N20ft301.dat")
     solver, completion = solve(pb, TsptwWidth(pb.nb_variables, 1), batch=4)
     assert completion.is_exact
     assert round(-solver.best_value() / 10000.0, 2) == 661.60
@@ -102,7 +103,7 @@ LANGEVIN = [
 
 @pytest.mark.parametrize("fname,opt", LANGEVIN)
 def test_langevin_suite(fname, opt):
-    pb = read_instance(f"/root/reference/resources/tsptw/Langevin/{fname}")
+    pb = read_instance(f"{_res_root()}/tsptw/Langevin/{fname}")
     solver, completion = solve(pb, TsptwWidth(pb.nb_variables, 1), batch=4)
     assert completion.is_exact
     assert round(-solver.best_value() / 10000.0, 2) == opt
