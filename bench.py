@@ -260,10 +260,12 @@ def main():
 
     m2 = m2s_read(f"{R}/max2sat/frb10-6-1.wcnf")
     m2_bundle = ModelBundle(m2, Max2SatRelax(m2), Max2SatRanking())
+    # device-resident loop (r5): warm 73s -> ~8s on this row
     tto["max2sat_frb10-6-1"] = time_to_optimal(
         "max2sat_frb10-6-1",
-        lambda: ddo_tpu.SequentialSolver(
+        lambda: ddo_tpu.DeviceLoopSolver(
             m2_bundle, width_heu=FixedWidth(8), batch=8, cache=SimpleCache(),
+            chunk_steps=16,
         ),
         37037,
     )
@@ -316,11 +318,13 @@ def main():
 
     go = Golomb(7)
     go_bundle = ModelBundle(go, GolombRelax(go), GolombRanking())
+    # device-resident loop at K=64 (r5): warm 12.7s -> ~3s
     tto["golomb7"] = time_to_optimal(
         "golomb7",
-        lambda: ddo_tpu.SequentialSolver(
-            go_bundle, width_heu=FixedWidth(10), batch=8, cache=SimpleCache(),
-            cutset_type=ddo_tpu.FRONTIER,
+        lambda: ddo_tpu.DeviceLoopSolver(
+            go_bundle, width_heu=ddo_tpu.NbUnassignedWidth(go.nb_variables),
+            batch=64, cache=SimpleCache(), cutset_type=ddo_tpu.FRONTIER,
+            chunk_steps=32,
         ),
         -25,
     )
@@ -330,12 +334,14 @@ def main():
 
     al = alp_read(f"{R}/alp/alp_n25_r1_c2_std10_s0")
     al_bundle = ModelBundle(al, AlpRelax(al), AlpRanking())
+    # device loop + the r5 admissible ALP queueing bound: 3.8s -> ~0.5s
     tto["alp_n25_r1_c2_std10_s0"] = time_to_optimal(
         "alp_n25_r1_c2_std10_s0",
-        lambda: ddo_tpu.SequentialSolver(
+        lambda: ddo_tpu.DeviceLoopSolver(
             al_bundle, width_heu=FixedWidth(64), batch=8, cache=SimpleCache(),
             cutset_type=ddo_tpu.FRONTIER,
             dominance=SimpleDominanceChecker(AlpDominance(), al.nb_variables),
+            chunk_steps=16,
         ),
         -755,  # alp/tests.rs optimum 755
     )

@@ -4,7 +4,17 @@ The compact route ships only selected rows across the host link instead
 of whole [K, n+1, W] planes; with caps large enough to avoid truncation
 it must reproduce the plane route's search trajectory EXACTLY (same
 explored/expanded counts, same optimum).  Runs on the CPU backend where
-compact is off by default — forced on via the solver flag."""
+compact is off by default — forced on via the solver flag.
+
+KNOWN ALLOWED DIVERGENCE (ADVICE r4 low #4): the compact path enqueues
+all cutset rows AFTER every lane's incumbent/dominance absorption while
+the plane path interleaves per lane, so when an incumbent improvement
+lands mid-drain the compact route may prune strictly MORE rows
+(ubs > best_lb against a newer bound) — sound, but explored counts can
+then differ.  The fixtures below were picked because their incumbent
+updates do not interleave with cutset drains; if an engine change makes
+one flaky, compare optima/bounds only for that fixture rather than the
+full trajectory tuple."""
 
 from ddo_tpu.utils.resources import resources_root as _res_root
 import numpy as np
