@@ -688,6 +688,7 @@ class DeviceLoopSolver(SequentialSolver):
         )
         n_active = 0
         aborted = False
+        self._min_depth = 0
 
         while True:
             if self.cutoff.must_stop():
@@ -700,6 +701,7 @@ class DeviceLoopSolver(SequentialSolver):
                     break
                 slab = self._seed_slab(slab, batch)
                 n_active = len(batch)
+                self._min_depth = min(s.depth for s in batch)
                 self.loop_events["seeds"] += 1
             if int(best["lb"]) < self.best_lb:
                 best = dict(best, lb=jnp.asarray(self.best_lb, VALUE_DTYPE))
@@ -708,7 +710,7 @@ class DeviceLoopSolver(SequentialSolver):
             cache_tab, dom_tab = self._filter_tables()
             if isinstance(self.cache, EmptyCache):
                 cache_tab = None
-            i0 = _depth_bucket(self._n, self._slab_min_depth(slab))
+            i0 = _depth_bucket(self._n, self._min_depth)
             self.loop_events["chunks"] += 1
             slab, best, cbuf, dbuf, stats = _device_chunk(
                 spec_r, spec_x, self.bundle.datas, slab, best,
@@ -743,6 +745,11 @@ class DeviceLoopSolver(SequentialSolver):
                 )
             self._absorb_bufs(cbuf, dbuf)
             n_active = int(stats["n_active"])
+            if n_active:
+                # start-layer bucket source for the next chunk: riding the
+                # prefetched stats instead of fetching slab arrays saves
+                # two blocking ~100ms tunnel reads per chunk
+                self._min_depth = int(stats["min_depth"])
             ubm = int(stats["ub_max"]) if n_active else NEG_INF
             fr_ub = self._fringe_ub_max()
             self.best_ub = min(
@@ -782,11 +789,6 @@ class DeviceLoopSolver(SequentialSolver):
         )
 
     # ------------------------------------------------------------ internals
-    def _slab_min_depth(self, slab):
-        act = np.asarray(slab["act"])
-        if not act.any():
-            return 0
-        return int(np.asarray(slab["depth"])[act].min())
 
     def _workload_for_seed(self):
         """Pop up to slab_cap/2 subproblems for seeding (with the standard
