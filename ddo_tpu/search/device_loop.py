@@ -266,8 +266,53 @@ def _device_chunk(spec_r, spec_x, datas, slab, best, max_steps, cache_tab,
             )
         )(rs, rv, rd, ew, ps)
 
+    v_pack = jax.vmap(problem.pack)
+
+    def _dedup_slab(sl):
+        """NoDupFringe merge rule applied to the whole slab
+        (no_duplicate.rs:96-117): among active rows with equal
+        (depth, state key), keep ONE — the max-value row's payload with
+        the run-max ub.  Scatter-free: one multi-key sort groups runs,
+        a segmented suffix scan takes the run ub max, and a second sort
+        keyed on the original index maps (keep, ub) back.  Row data
+        never moves; only act/ub change."""
+        from ddo_tpu.ops import segments as seg_ops
+
+        keysl = v_pack(sl["state"]).astype(I32)  # [Cap, Kc]
+        Kc = keysl.shape[1]
+        inact = (~sl["act"]).astype(I32)
+        ops = (inact, sl["depth"]) + tuple(
+            keysl[:, k] for k in range(Kc)
+        ) + (-sl["val"], arange_cap)
+        sorted_ = jax.lax.sort(ops, num_keys=len(ops))
+        sidx = sorted_[-1]
+        valid_s = sorted_[0] == 0
+        gcols = jnp.stack(sorted_[1 : 2 + Kc], axis=1)  # depth + keys
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), jnp.any(gcols[1:] != gcols[:-1], axis=1)]
+        )
+        head = valid_s & first
+        ubmax = seg_ops.seg_max_at_head(head, sl["ub"][sidx])
+        _, keep_i, ub_i = jax.lax.sort(
+            (sidx, head.astype(I32), jnp.where(head, ubmax, NEG_INF)),
+            num_keys=1,
+        )
+        return dict(
+            sl,
+            act=sl["act"] & (keep_i > 0),
+            ub=jnp.where(keep_i > 0, ub_i, sl["ub"]),
+        )
+
     def body(carry):
         slab, best, cbuf, dbuf, st = carry
+        # opportunistic state dedup when the slab runs low on space —
+        # duplicate open states are the frontier-explosion driver on
+        # merge-heavy families (ALP), and the host NoDupFringe only sees
+        # rows that spill
+        occ = jnp.sum(slab["act"].astype(I32))
+        slab = jax.lax.cond(
+            occ * 4 > Cap * 3, _dedup_slab, lambda sl: sl, slab
+        )
         lb0 = best["lb"]
         elig = slab["act"] & (slab["ub"] > lb0)
 
