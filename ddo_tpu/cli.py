@@ -141,6 +141,13 @@ def main(argv=None):
     parser.add_argument("--no-filtering", action="store_true",
                         help="disable in-compilation cache/dominance filtering")
     parser.add_argument("--cpu", action="store_true", help="run on CPU")
+    parser.add_argument("--device-loop", action="store_true",
+                        help="device-resident search loop (k supersteps "
+                             "per dispatch; best for deep/narrow searches)")
+    parser.add_argument("--chunk-steps", type=int, default=16,
+                        help="supersteps per dispatch with --device-loop")
+    parser.add_argument("--slab-cap", type=int, default=8192,
+                        help="device fringe capacity with --device-loop")
     parser.add_argument("--dot", default=None,
                         help="write a relaxed-DD graphviz dot of the root")
     args = parser.parse_args(argv)
@@ -161,8 +168,7 @@ def main(argv=None):
         width_heu = FixedWidth(args.width)
     dom = None if args.no_dominance else _dominance_for(args.problem, pb)
 
-    solver = ddo_tpu.SequentialSolver(
-        bundle,
+    kw = dict(
         width_heu=width_heu,
         batch=args.batch,
         cache=ddo_tpu.EmptyCache() if args.no_cache else SimpleCache(),
@@ -175,6 +181,13 @@ def main(argv=None):
         ),
         in_compile_filtering=not args.no_filtering,
     )
+    if args.device_loop:
+        solver = ddo_tpu.DeviceLoopSolver(
+            bundle, slab_cap=args.slab_cap, cut_cap=args.slab_cap // 2,
+            chunk_steps=args.chunk_steps, **kw,
+        )
+    else:
+        solver = ddo_tpu.SequentialSolver(bundle, **kw)
 
     start = time.time()
     completion = solver.maximize()
