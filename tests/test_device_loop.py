@@ -143,3 +143,33 @@ def test_set_primal_closes_fast():
                        np.zeros(pb.nb_variables, bool)))
     c = s.maximize()
     assert c.is_exact and s.best_lower_bound() == 295
+
+
+def test_width_static_descriptors():
+    """Every reference-CI width heuristic must evaluate identically on
+    host and device (width_static / _eval_width)."""
+    import jax.numpy as jnp
+    from ddo_tpu.core.types import SubProblem
+    from ddo_tpu.search.device_loop import _eval_width, width_static
+    from ddo_tpu.models.tsptw import TsptwWidth
+
+    n = 10
+    depth = jnp.asarray([0, 3, 7])
+    pset = jnp.zeros((3, n), bool).at[1, :3].set(True).at[2, :7].set(True)
+
+    def host(heu, d, nset):
+        sub = SubProblem(state=None, value=0,
+                         path_vals=np.zeros(n, np.int32),
+                         path_set=np.arange(n) < nset, ub=0, depth=d)
+        return heu.max_width(sub)
+
+    for heu in [
+        FixedWidth(5),
+        NbUnassignedWidth(n),
+        ddo_tpu.Times(3, NbUnassignedWidth(n)),
+        ddo_tpu.DivBy(2, NbUnassignedWidth(n)),
+        TsptwWidth(n, 2),
+    ]:
+        dev = np.asarray(_eval_width(width_static(heu), depth, pset))
+        exp = [host(heu, d, s) for d, s in [(0, 0), (3, 3), (7, 7)]]
+        assert dev.tolist() == exp, (type(heu).__name__, dev, exp)
